@@ -1,0 +1,562 @@
+"""URL canonicalization, session-id normalization, public-suffix root-domain
+extraction and URLFPV2 fingerprints.
+
+Reproduces the crawl-identity semantics of the reference engine:
+
+* ``canonicalize_url`` — reference util/shared/URLUtils.java:355-434
+  (googleurl parse → scheme://[user[:pass]@]host[:port]path-up-to-';'
+  [?query], drop fragment, strip trailing host dot, strip leading ``www.``
+  unless host == registrable root domain, drop port 80) followed by
+  session-id normalization.  The googleurl C++ library
+  (reference src/native/src/libGoogleURL) is re-expressed in Python for
+  the subset the reference exercises: scheme/host lowercasing, slash
+  normalization, dot-segment removal, default-port removal, percent-escape
+  normalization, IDN→punycode.
+* ``session_id_normalize`` — exact port of
+  util/shared/SessionIDURLNormalizer.java:87-346 (fixture-gated against
+  the reference's own 40 test vectors at :356-397).
+* ``extract_root_domain_name`` / ``extract_tld_name`` — exact port of
+  util/shared/URLUtils.java:41-208 over the same Mozilla
+  effective_tld_list.txt (loaded like TLDNamesCollection.java:30-77).
+* ``urlfp_batch`` — URLFPV2 construction per
+  util/shared/URLUtils.getURLFPV2FromCanonicalURL (:308-336):
+  url_hash = fp64(canonical); domain_hash = fp64(host minus ``www.`` when
+  host != root domain); root_domain_hash = fp64(root domain).
+
+Batch entry points are vectorized: a single compiled-regex fast path
+covers already-canonical URLs (the common case in a steady-state
+frontier), and only the residue goes through the per-string slow path.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+from . import hashing
+
+# ---------------------------------------------------------------------------
+# Public-suffix list (TLDNamesCollection.java parse: split at LAST dot;
+# map[right_side] += {left_side}; single-label line → map[line] += {""})
+# ---------------------------------------------------------------------------
+
+_PSL_PATH = __file__.rsplit("/", 1)[0] + "/data/effective_tld_list.txt"
+_tld_map: dict[str, set[str]] | None = None
+
+
+def _psl() -> dict[str, set[str]]:
+    global _tld_map
+    if _tld_map is None:
+        m: dict[str, set[str]] = {}
+        with open(_PSL_PATH, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if line.startswith("//") or not line:
+                    continue
+                dot = line.rfind(".")
+                if dot == -1:
+                    m.setdefault(line.strip(), set()).add("")
+                else:
+                    m.setdefault(line[dot + 1 :].strip(), set()).add(line[:dot].strip())
+        _tld_map = m
+    return _tld_map
+
+
+_IP_RE = re.compile(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")
+_INVALID_DOMAIN_CHAR_RE = re.compile(r"[^0-9a-z\-\._]")
+
+
+def _build_root(candidate: str, parts: list[str], root_index: int) -> str:
+    # URLUtils.buildRootNameString:21-32
+    n = len(parts) - root_index
+    length = (n - 1) + sum(len(p) for p in parts[root_index:])
+    return candidate[len(candidate) - length :]
+
+
+def extract_root_domain_name(host: str | None) -> str | None:
+    """Port of URLUtils.extractRootDomainName (URLUtils.java:129-208)."""
+    if host is None:
+        return None
+    if _IP_RE.match(host):
+        return host
+    if host.endswith("."):
+        host = host[:-1]
+    if host.startswith("*") and len(host) > 1:
+        host = host[1:]
+    if not host or _INVALID_DOMAIN_CHAR_RE.search(host):
+        return None
+    parts = host.split(".")
+    if len(parts) < 2:
+        return None
+    secondary = _psl().get(parts[-1])
+    if not secondary:
+        return None
+    second_last = parts[-2]
+    if second_last in secondary or "*" in secondary:
+        if ("!" + second_last) in secondary:
+            return _build_root(host, parts, len(parts) - 2)
+        if len(parts) >= 3:
+            return _build_root(host, parts, len(parts) - 3)
+        return None
+    wildcard2 = "*." + second_last
+    if wildcard2 in secondary:
+        if len(parts) >= 3:
+            if ("!" + parts[-3] + "." + second_last) in secondary:
+                return _build_root(host, parts, len(parts) - 3)
+            if len(parts) >= 4:
+                return _build_root(host, parts, len(parts) - 4)
+        return None
+    if "" in secondary:
+        return _build_root(host, parts, len(parts) - 2)
+    return None
+
+
+def extract_tld_name(host: str | None) -> str | None:
+    """Port of URLUtils.extractTLDName (URLUtils.java:41-119)."""
+    if host is None:
+        return None
+    if _IP_RE.match(host):
+        return "inaddr-arpa.arpa"
+    if host.endswith("."):
+        host = host[:-1]
+    if host.startswith("*") and len(host) > 1:
+        host = host[1:]
+    if not host or _INVALID_DOMAIN_CHAR_RE.search(host):
+        return None
+    parts = host.split(".")
+    if len(parts) < 2:
+        return None
+    secondary = _psl().get(parts[-1])
+    if not secondary:
+        return None
+    second_last = parts[-2]
+    if second_last in secondary or "*" in secondary:
+        if ("!" + second_last) in secondary:
+            return _build_root(host, parts, len(parts) - 1)
+        return _build_root(host, parts, len(parts) - 2)
+    wildcard2 = "*." + second_last
+    if wildcard2 in secondary:
+        if len(parts) >= 3:
+            if ("!" + parts[-3] + "." + second_last) in secondary:
+                return _build_root(host, parts, len(parts) - 2)
+            if len(parts) >= 4:
+                return _build_root(host, parts, len(parts) - 3)
+        return None
+    if "" in secondary:
+        return _build_root(host, parts, len(parts) - 1)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Session-id normalization — exact port of SessionIDURLNormalizer.normalize
+# (SessionIDURLNormalizer.java:87-346)
+# ---------------------------------------------------------------------------
+
+_HEX_RE = re.compile(r"^[0-9a-fA-F]*$")  # pattern0
+_ALNUM_RE = re.compile(r"^[0-9a-zA-Z]*$")  # pattern0_1
+_NUM_RE = re.compile(r"^[0-9]*$")  # pattern0_2
+_HEXDASH_RE = re.compile(r"^[0-9a-fA-F\-]*$")  # pattern0_3
+
+# quick vectorizable pre-filter: any marker substring present (lowercased)
+SESSION_MARKERS_RE = re.compile(
+    r"phpsessid|oscsid|sid|/sessions/|;\$sessionid\$|/session_id/|--session_id\.|;jsessionid=",
+    re.IGNORECASE,
+)
+
+
+def session_id_normalize(url_orig: str) -> str:
+    url = url_orig.lower()
+
+    # PHPSESSID (SessionIDURLNormalizer.java:93-136)
+    idx = url.rfind("phpsessid")
+    if idx != -1:
+        pos = idx + len("phpsessid")
+        if len(url) > pos and url[pos] in "=.-+/":
+            id_start = pos + 1
+            id_end = id_start
+            while id_end != len(url) and url[id_end] not in "&.-+/":
+                id_end += 1
+            id_str = url[id_start:id_end]
+            if id_str:
+                m = _HEX_RE.match(id_str)
+                desired = 32
+                if not m:
+                    m = _ALNUM_RE.match(id_str)
+                    desired = 26
+                if m and len(id_str) == desired:
+                    if id_end == len(url):
+                        return url_orig[: idx - 1]
+                    return url_orig[: idx - 1] + url_orig[id_end:]
+
+    # trailing 32-hex after .php with /oscsid/ (:138-158)
+    if ".php" in url:
+        last_slash = url.rfind("/")
+        if last_slash != -1:
+            id_str = url[last_slash + 1 :]
+            if len(id_str) == 32 and _HEX_RE.match(id_str):
+                prev_slash = url.rfind("/", 0, last_slash)
+                if prev_slash != -1 and url.find("oscsid", prev_slash + 1) == prev_slash + 1:
+                    return url_orig[:prev_slash]
+
+    # oscsid/<32hex...> (:160-173)
+    idx = url.rfind("oscsid")
+    if idx != -1:
+        nxt = url.find("/", idx + len("oscsid"))
+        if nxt != -1:
+            id_str = url[nxt + 1 :]
+            if len(id_str) == 32 and _HEX_RE.match(id_str):
+                return url_orig[: idx - 1]
+
+    # -oscsid-<32hex>.html (:175-189)
+    idx = url.rfind("-oscsid-")
+    if idx != -1:
+        html = url.rfind(".html")
+        if html > idx:
+            id_str = url[idx + len("-oscsid-") : html]
+            if len(id_str) == 32 and _HEX_RE.match(id_str):
+                return url_orig[:idx] + url_orig[html:]
+
+    # /sessions/<32hex>/ (:191-206)
+    idx = url.find("/sessions/")
+    if idx != -1:
+        nxt = url.find("/", idx + len("/sessions/"))
+        if nxt != -1:
+            id_str = url[idx + len("/sessions/") : nxt]
+            if len(id_str) == 32 and _HEX_RE.match(id_str):
+                return url_orig[:idx] + url_orig[nxt:]
+
+    # ;$sessionid$<alnum> (:208-216)
+    idx = url.find(";$sessionid$")
+    if idx != -1 and _ALNUM_RE.match(url[idx + len(";$sessionid$") :]):
+        return url_orig[:idx]
+
+    # /session_id/<32hex>/ (:218-233)
+    idx = url.find("/session_id/")
+    if idx != -1:
+        nxt = url.find("/", idx + len("/session_id/"))
+        if nxt != -1:
+            id_str = url[idx + len("/session_id/") : nxt]
+            if len(id_str) == 32 and _HEX_RE.match(id_str):
+                return url_orig[:idx] + url_orig[nxt:]
+
+    # --session_id.<digits>-- (:235-247)
+    idx = url.find("--session_id.")
+    if idx != -1:
+        nxt = url.find("--", idx + len("--session_id."))
+        if nxt != -1 and _NUM_RE.match(url[idx + len("--session_id.") : nxt]):
+            return url_orig[:idx] + url_orig[nxt:]
+
+    # sid / oscsid / mscsid preceded by / ? & + (:249-329)
+    matching = None
+    sid_idx = -1
+    for token in ("sid", "oscsid", "mscsid"):
+        cand = url.rfind(token)
+        if cand not in (-1, 0) and url[cand - 1] in "/?&+":
+            matching = token
+            sid_idx = cand
+            break
+    if matching is not None:
+        pos = sid_idx + len(matching)
+        if len(url) > pos and url[pos] in "=.-+/":
+            id_start = pos + 1
+            id_end = id_start
+            while id_end != len(url) and url[id_end] not in "&.+/":  # NOTE: '-' allowed here
+                id_end += 1
+            id_str = url[id_start:id_end]
+            if id_str:
+                desired = 32
+                m = _HEX_RE.match(id_str)
+                if not m:
+                    m = _HEXDASH_RE.match(id_str)
+                    desired = 36
+                if not m:
+                    m = _ALNUM_RE.match(id_str)
+                    desired = 26
+                if m and len(id_str) >= desired:
+                    if id_end == len(url):
+                        return url_orig[: sid_idx - 1]
+                    return url_orig[: sid_idx - 1] + url_orig[id_end:]
+
+    # ;jsessionid= (:331-343)
+    idx = url.find(";jsessionid=")
+    if idx != -1:
+        q = url.find("?", idx)
+        if q != -1:
+            return url_orig[:idx] + url_orig[q:]
+        return url_orig[:idx]
+
+    return url_orig
+
+
+# ---------------------------------------------------------------------------
+# googleurl-style parsing/canonicalization (Python re-expression of the
+# subset exercised via URLUtils; see module docstring)
+# ---------------------------------------------------------------------------
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21", "ws": "80", "wss": "443"}
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):")
+_CTRL_STRIP = "".join(chr(c) for c in range(0x21)) + "\x7f"
+_UNRESERVED = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
+_HEX_DIGITS = "0123456789ABCDEF"
+
+
+class ParsedURL:
+    __slots__ = ("valid", "scheme", "user", "password", "host", "port", "path", "query", "ref")
+
+    def __init__(self):
+        self.valid = False
+        self.scheme = self.user = self.password = self.host = self.port = ""
+        self.path = self.query = self.ref = ""
+
+
+def _pct_canon(s: str, keep: str, plus_ok: bool = True) -> str:
+    """Normalize percent-escapes: uppercase valid %XX, escape bare '%' and
+    out-of-range characters; unescape sequences decoding to unreserved."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%":
+            hex2 = s[i + 1 : i + 3]
+            if len(hex2) == 2 and _HEX_RE.match(hex2):
+                val = int(hex2, 16)
+                ch = chr(val)
+                if ch in _UNRESERVED:
+                    out.append(ch)
+                else:
+                    out.append("%" + hex2.upper())
+                i += 3
+                continue
+            out.append("%25")
+            i += 1
+            continue
+        o = ord(c)
+        if o <= 0x20 or o == 0x7F or c in '"<>':
+            out.append("%" + _HEX_DIGITS[o >> 4] + _HEX_DIGITS[o & 15])
+        elif o > 0x7F:
+            for b in c.encode("utf-8"):
+                out.append("%" + _HEX_DIGITS[b >> 4] + _HEX_DIGITS[b & 15])
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    segments = path.split("/")
+    out: list[str] = []
+    for i, seg in enumerate(segments):
+        if seg == ".":
+            pass
+        elif seg == "..":
+            if len(out) > 1:
+                out.pop()
+        else:
+            out.append(seg)
+        last = i == len(segments) - 1
+        if last and seg in (".", ".."):
+            out.append("")
+    res = "/".join(out)
+    if not res.startswith("/"):
+        res = "/" + res
+    return res
+
+
+def parse_url(raw: str | None) -> ParsedURL:
+    p = ParsedURL()
+    if raw is None:
+        return p
+    s = raw.strip(_CTRL_STRIP)
+    s = s.replace("\t", "").replace("\n", "").replace("\r", "")
+    m = _SCHEME_RE.match(s)
+    if not m:
+        return p
+    scheme = m.group(1).lower()
+    if scheme not in _DEFAULT_PORTS:
+        return p
+    rest = s[m.end() :]
+    i = 0
+    while i < len(rest) and rest[i] in "/\\":
+        i += 1
+    rest = rest[i:]
+    # authority ends at first /, \, ?, #
+    end = len(rest)
+    for j, c in enumerate(rest):
+        if c in "/\\?#":
+            end = j
+            break
+    authority, remainder = rest[:end], rest[end:]
+    if not authority:
+        return p
+    user = password = ""
+    at = authority.rfind("@")
+    hostport = authority
+    if at != -1:
+        userinfo, hostport = authority[:at], authority[at + 1 :]
+        colon = userinfo.find(":")
+        if colon == -1:
+            user = _pct_canon(userinfo, "")
+        else:
+            user = _pct_canon(userinfo[:colon], "")
+            password = _pct_canon(userinfo[colon + 1 :], "")
+    colon = hostport.rfind(":")
+    port = ""
+    host = hostport
+    if colon != -1:
+        maybe_port = hostport[colon + 1 :]
+        if maybe_port == "" or maybe_port.isdigit():
+            host, port = hostport[:colon], maybe_port.lstrip("0") or ("0" if maybe_port else "")
+    if not host:
+        return p
+    # percent-decode then canonicalize host
+    try:
+        if "%" in host:
+            host = re.sub(r"%([0-9a-fA-F]{2})", lambda mm: chr(int(mm.group(1), 16)), host)
+        host = host.lower()
+        if any(ord(c) > 0x7F for c in host):
+            host = host.encode("idna").decode("ascii")
+    except Exception:
+        return p
+    if not re.match(r"^[a-z0-9\-._]+$", host):
+        return p
+    if port and port in (_DEFAULT_PORTS.get(scheme) or ""):
+        port = ""
+    # split remainder into path/query/ref
+    path = query = ref = ""
+    if remainder:
+        hash_pos = remainder.find("#")
+        if hash_pos != -1:
+            ref = remainder[hash_pos + 1 :]
+            remainder = remainder[:hash_pos]
+        q_pos = remainder.find("?")
+        if q_pos != -1:
+            query = remainder[q_pos + 1 :]
+            remainder = remainder[:q_pos]
+        path = remainder.replace("\\", "/")
+    if not path:
+        path = "/"
+    path = _pct_canon(_remove_dot_segments(path), "")
+    if query:
+        query = _pct_canon(query, "")
+    p.valid = True
+    p.scheme, p.user, p.password, p.host, p.port = scheme, user, password, host, port
+    p.path, p.query, p.ref = path, query, ref
+    return p
+
+
+def canonicalize_url(url: str | None, strip_www: bool = True) -> str | None:
+    """Port of URLUtils.canonicalizeURL (URLUtils.java:375-434); returns
+    None for invalid URLs (where Java throws MalformedURLException)."""
+    p = parse_url(url)
+    if not p.valid:
+        return None
+    out = [p.scheme, "://"]
+    if p.user:
+        out.append(p.user)
+        if p.password:
+            out.append(":")
+            out.append(p.password)
+        out.append("@")
+    host = p.host
+    if host.endswith("."):
+        host = host[:-1]
+    if strip_www and host.startswith("www."):
+        root = extract_root_domain_name(host)
+        if root is None or root != host:
+            host = host[4:]
+    out.append(host)
+    if p.port and p.port != "80":
+        out.append(":")
+        out.append(p.port)
+    if p.path:
+        semi = p.path.find(";")
+        out.append(p.path[:semi] if semi != -1 else p.path)
+    if p.query:
+        out.append("?")
+        out.append(p.query)
+    return session_id_normalize("".join(out))
+
+
+# fast path: already-canonical URL shape that canonicalize_url maps to itself
+_FAST_RE = re.compile(
+    r"^https?://"  # scheme
+    r"(?!www\.)[a-z0-9\-_]+(\.[a-z0-9\-_]+)+"  # dotted lowercase host, no trailing dot
+    r"(:[1-9][0-9]{1,4})?"  # explicit non-default-ish port (80/443 excluded below)
+    r"/[A-Za-z0-9\-._~!$&'()*+,/:=@]*"  # path present, no %, ;, ?, space, backslash
+    r"(\?[A-Za-z0-9\-._~!$&'()*+,/:=@]*)?$"  # optional query
+)
+
+
+def _fast_canonical_mask(urls: pd.Series) -> np.ndarray:
+    mask = urls.str.match(_FAST_RE, na=False)
+    # exclude default ports, dot segments and session-id markers
+    mask &= ~urls.str.contains(":80/", regex=False, na=False)
+    mask &= ~urls.str.contains(":443/", regex=False, na=False)
+    mask &= ~urls.str.contains("/./", regex=False, na=False)
+    mask &= ~urls.str.contains("/../", regex=False, na=False)
+    mask &= ~urls.str.contains(SESSION_MARKERS_RE, na=False)
+    return mask.to_numpy()
+
+
+def canonicalize_batch(urls: pd.Series, strip_www: bool = True) -> pd.Series:
+    """Vectorized canonicalization: regex fast path + per-string residue."""
+    urls = urls.astype("object")
+    out = pd.Series(index=urls.index, dtype="object")
+    mask = _fast_canonical_mask(urls) if strip_www else np.zeros(len(urls), dtype=bool)
+    out[mask] = urls[mask]
+    slow_idx = urls.index[~mask]
+    if len(slow_idx):
+        out[slow_idx] = [canonicalize_url(u, strip_www) for u in urls[slow_idx]]
+    return out
+
+
+_FAST_HOST_RE = re.compile(r"^[^:]*:/*(?:[^/\\?;#@]*@)?([^/?;#:]*)")
+
+
+def fast_get_host(canonical_url: str | None) -> str | None:
+    """URLUtils.fastGetHostFromURL on an already-canonical URL."""
+    if not canonical_url:
+        return None
+    m = _FAST_HOST_RE.match(canonical_url)
+    if not m:
+        return None
+    host = m.group(1)
+    return host if host else None
+
+
+@lru_cache(maxsize=65536)
+def _host_root_cached(host: str) -> tuple[str | None, str | None]:
+    """(domain_host, root_domain) per getURLFPV2FromCanonicalURL:315-330."""
+    root = extract_root_domain_name(host)
+    if root is None:
+        return None, None
+    if host.startswith("www.") and root != host:
+        host = host[4:]
+    return host, root
+
+
+def urlfp_batch(canonical: pd.Series) -> pd.DataFrame:
+    """URLFPV2 for canonical URLs → DataFrame(domain_hash, url_hash,
+    root_domain_hash), nullable Int64 (null where fp is undefined)."""
+    vals = canonical.tolist()
+    url_hash = hashing.fp64_utf16(vals)
+    hosts = canonical.str.extract(_FAST_HOST_RE, expand=False)
+    pairs = [_host_root_cached(h) if isinstance(h, str) and h else (None, None) for h in hosts]
+    dom = [p[0] for p in pairs]
+    roots = [p[1] for p in pairs]
+    ok = np.array([d is not None for d in dom])
+    domain_hash = hashing.fp64_utf16(["" if d is None else d for d in dom])
+    root_hash = hashing.fp64_utf16(["" if r is None else r for r in roots])
+    valid_url = np.array([isinstance(v, str) for v in vals])
+    ok &= valid_url
+    return pd.DataFrame(
+        {
+            "domain_hash": pd.array(np.where(ok, domain_hash, 0), dtype="Int64"),
+            "url_hash": pd.array(np.where(ok, url_hash, 0), dtype="Int64"),
+            "root_domain_hash": pd.array(np.where(ok, root_hash, 0), dtype="Int64"),
+            "valid": ok,
+        }
+    )
