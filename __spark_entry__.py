@@ -1,38 +1,327 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the ccspark PySpark crawl-frontier engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl-identity pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
+every SQL-expressible query (rows-only checks otherwise).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import ccspark.functions as CF
+
+_SESSION_SUFFIX = ";jsessionid=abcdef0123456789abcdef0123456789"
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a deterministic Common-Crawl-style url column from the
+    driver's documents table (messy variants: www., session ids, :80)."""
+    docs = _load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_SESSION_SUFFIX)).otherwise(F.lit("")),
+    )
+    return docs.withColumn("url", url)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: canonicalize → URLFPV2 → exact dedup → per-host counts
+    over a pages-shaped derivation of sf0.001 (scan, Arrow UDF, shuffle,
+    agg — the crawl-identity core of SURVEY.md §7 step 3)."""
+    sf_dir = "/root/testdata/sf0.001"
+    pages = _doc_pages(spark, sf_dir)
+    df = CF.with_urlfp(CF.with_canonical(pages), num_partitions=32)
+    return (
+        df.filter("url_valid")
+        .withColumn("host", CF.url_host(F.col("canonical_url")))
+        .groupBy("host")
+        .agg(
+            F.countDistinct("domain_hash", "url_hash").alias("n_urls"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — each callable: (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+
+def q_scan_filter(spark, sf_dir):
+    """S-family: parquet scan with pushed filter + pruned projection."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") < 5) & (F.col("l_shipdate") < "1994-01-01")).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+
+def q_agg_pricing(spark, sf_dir):
+    """A4 combiner analog: partial+final aggregation (TPC-H Q1 shape)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 1).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def q_join_agg(spark, sf_dir):
+    """Broadcast dim join (robots/budget join shape, SURVEY.md §2.4)."""
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 1).alias("total_price"),
+        )
+    )
+
+
+def q_topk(spark, sf_dir):
+    """A5: global top-k via total order (orderBy + limit)."""
+    orders = _load(spark, sf_dir, "orders")
+    return orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).select(
+        "o_orderkey", "o_totalprice"
+    ).limit(10)
+
+
+def q_pagination(spark, sf_dir):
+    """A5: limit+offset pagination over a sorted result."""
+    orders = _load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(20)
+        .limit(10)
+    )
+
+
+def q_politeness_rank(spark, sf_dir):
+    """W1/W4: salted-key window/rank budget gate (politeness scheduler
+    shape: partition by key, order by priority, keep top-N)."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_moving_avg(spark, sf_dir):
+    """A7: windowed moving average (MovingAverage analog)."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("msum"),
+        F.count("*").over(w).alias("mcnt"),
+    )
+
+
+def q_histogram(spark, sf_dir):
+    """A7: histogram (groupBy count + mean)."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.avg("value"), 2).alias("avg_value")
+    )
+
+
+def q_distinct(spark, sf_dir):
+    """H5/A8: exact distinct per group."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+def q_set_ops(spark, sf_dir):
+    """A9: set difference (frontier-delta shape)."""
+    ev = _load(spark, sf_dir, "events")
+    signup = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    error = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return signup.subtract(error)
+
+
+def q_dedup_exact(spark, sf_dir):
+    """H5: exact content dedup via hash-groupBy on documents."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
+        F.count("*").alias("cnt"), F.min("doc_id").alias("keeper_doc_id")
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """Text analysis: whitespace token count per document."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Text analysis: per-language length/volume profile."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_len"),
+        F.round(F.avg(F.size(F.split(F.col("text"), " "))), 2).alias("avg_tokens"),
+    )
+
+
+def q_urlfp_dedup(spark, sf_dir):
+    """P2/P3/H1/H2 end-to-end: canonicalize + URLFPV2 dedup per host.
+    Oracle-checkable because the url derivation is deterministic: the
+    canonical identity of each messy url is exactly its (source, doc_id)."""
+    pages = _doc_pages(spark, sf_dir)
+    df = CF.with_urlfp(CF.with_canonical(pages))
+    return (
+        df.filter("url_valid")
+        .withColumn("host", CF.url_host(F.col("canonical_url")))
+        .groupBy("host")
+        .agg(F.countDistinct("domain_hash", "url_hash").alias("n_urls"))
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Similarity search: brute-force cosine top-k against vec_id=0."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q")).collect()[0]["q"]
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_e = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    import math
+
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in q))
+    sim = F.round(dot / (norm_e * F.lit(qnorm)), 4)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_scan_filter": q_scan_filter,
+        "q_agg_pricing": q_agg_pricing,
+        "q_join_agg": q_join_agg,
+        "q_topk": q_topk,
+        "q_pagination": q_pagination,
+        "q_politeness_rank": q_politeness_rank,
+        "q_moving_avg": q_moving_avg,
+        "q_histogram": q_histogram,
+        "q_distinct": q_distinct,
+        "q_set_ops": q_set_ops,
+        "q_dedup_exact": q_dedup_exact,
+        "q_token_count": q_token_count,
+        "q_text_quality": q_text_quality,
+        "q_urlfp_dedup": q_urlfp_dedup,
+        "q_ann_cosine_topk": q_ann_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_scan_filter": (
+            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem "
+            "WHERE l_quantity < 5 AND l_shipdate < TIMESTAMP '1994-01-01'"
+        ),
+        "q_agg_pricing": (
+            "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 1) AS sum_price, ROUND(AVG(l_discount), 4) AS avg_disc, "
+            "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q_join_agg": (
+            "SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 1) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "q_topk": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "q_pagination": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20"
+        ),
+        "q_politeness_rank": (
+            "SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn "
+            "FROM events) WHERE rn <= 3"
+        ),
+        "q_moving_avg": (
+            "SELECT event_id, user_id, ROUND(SUM(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS msum, "
+            "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mcnt FROM events"
+        ),
+        "q_histogram": (
+            "SELECT event_type, COUNT(*) AS cnt, ROUND(AVG(value), 2) AS avg_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "q_distinct": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+        ),
+        "q_set_ops": (
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' "
+            "EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'"
+        ),
+        "q_dedup_exact": (
+            "SELECT MD5(text) AS text_md5, COUNT(*) AS cnt, MIN(doc_id) AS keeper_doc_id "
+            "FROM documents GROUP BY MD5(text)"
+        ),
+        "q_token_count": (
+            "SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens FROM documents"
+        ),
+        "q_text_quality": (
+            "SELECT lang, COUNT(*) AS cnt, ROUND(AVG(LENGTH(text)), 2) AS avg_len, "
+            "ROUND(AVG(LEN(STRING_SPLIT(text, ' '))), 2) AS avg_tokens FROM documents GROUP BY lang"
+        ),
+        "q_urlfp_dedup": (
+            "SELECT source || '.example.com' AS host, COUNT(DISTINCT doc_id) AS n_urls "
+            "FROM documents GROUP BY source || '.example.com'"
+        ),
+        "q_ann_cosine_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.qe AS DOUBLE[])) AS DOUBLE), 4) AS sim "
+            "FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10"
+        ),
+    }

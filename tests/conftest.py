@@ -1,0 +1,10 @@
+import pytest
+
+from ccspark.session import build_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(app_name="ccspark-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
