@@ -1,0 +1,108 @@
+"""Checkpointed table storage: Iceberg-shaped partitioned Parquet with an
+atomic JSON manifest.
+
+The real deployment target is an Iceberg catalog (north_rule); this module
+gives the same guarantees on plain storage so the engine runs anywhere:
+
+* every crawl round writes its tables under ``<name>/round=<k>/``
+  (overwrite-idempotent: re-running a round rewrites the same directory);
+* a round becomes visible only when the manifest commit succeeds —
+  manifest is written to a temp file then atomically renamed, recording
+  the committed round number and table listing (the commit-record role
+  of the per-partition lineage rows, SURVEY.md §7 step 7);
+* resume = read manifest, load the tables of the last committed round,
+  continue — a killed job never observes a half-written round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_manifest.json"
+
+
+class Checkpoint:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def read_manifest(self) -> dict | None:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return None
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def commit_round(self, round_no: int, tables: dict[str, str], extra: dict | None = None) -> None:
+        """Atomically publish a completed round."""
+        manifest = {
+            "round": round_no,
+            "tables": tables,
+            "committed_at": time.time(),
+            **(extra or {}),
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=2)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._manifest_path())
+
+    def last_committed_round(self) -> int | None:
+        m = self.read_manifest()
+        return None if m is None else int(m["round"])
+
+    # -- tables -----------------------------------------------------------
+
+    def table_dir(self, name: str, round_no: int | None = None) -> str:
+        d = os.path.join(self.root, name)
+        if round_no is not None:
+            d = os.path.join(d, f"round={round_no}")
+        return d
+
+    def write(self, df: DataFrame, name: str, round_no: int, partition_by: list[str] | None = None) -> str:
+        """Idempotent per-round write (overwrite the round directory)."""
+        path = self.table_dir(name, round_no)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        return path
+
+    def read(self, spark: SparkSession, name: str, round_no: int) -> DataFrame:
+        return spark.read.parquet(self.table_dir(name, round_no))
+
+    def read_all_rounds(self, spark: SparkSession, name: str, upto_round: int) -> DataFrame | None:
+        """Union of a table across rounds 0..upto_round (append-style)."""
+        paths = [
+            self.table_dir(name, r)
+            for r in range(upto_round + 1)
+            if os.path.exists(self.table_dir(name, r))
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def drop_rounds_after(self, round_no: int) -> None:
+        """Remove any uncommitted round directories > round_no (crash debris)."""
+        for name in os.listdir(self.root):
+            tdir = os.path.join(self.root, name)
+            if not os.path.isdir(tdir):
+                continue
+            for sub in os.listdir(tdir):
+                if sub.startswith("round="):
+                    r = int(sub.split("=", 1)[1])
+                    if r > round_no:
+                        shutil.rmtree(os.path.join(tdir, sub))

@@ -1,0 +1,305 @@
+"""The crawl frontier loop: iterative batch rounds over checkpointed
+tables with per-partition lineage and deterministic resume.
+
+Round shape (north_rule; SURVEY.md §7 step 7):
+
+    frontier ──filter_new (bloom/cuckoo + exact confirm)──▶ novel
+    novel ──robots + crawl-delay budget + salted rank──▶ scheduled
+    scheduled ──deterministic fetch simulation──▶ discovered links
+    seen    += scheduled identities           (append delta)
+    frontier' = (novel − scheduled) ∪ (links − seen), max-priority merge
+    lineage  += per-partition row (emitted / deduped / budget)
+    checkpoint all tables, commit manifest atomically
+
+Determinism: every ordering is total — (priority DESC, domain_hash,
+url_hash) — so the scheduled trace is invariant to partition count and
+executor count; re-running any round reproduces identical bytes.  That
+is what makes kill-and-resume exact (tests/test_frontier.py) and the
+reference-oracle replay comparable (same seeds + budgets → same trace,
+BASELINE.json north_star).
+
+Scale notes: per-host ranks come from the two-stage salted window
+(politeness.rank_per_host) — no global window; the seen-set pre-filter
+is partition-local (seenset.probe_filters cogroup) — no broadcast of
+filter state; link expansion is a mapInPandas over scheduled rows — no
+driver participation.  Priorities decay per hop (0.8) so the frontier
+drains.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import politeness, seenset, synth
+from . import functions as CF
+from .checkpoint import Checkpoint
+
+FRONTIER_COLS = [
+    "url",
+    "canonical_url",
+    "domain_hash",
+    "url_hash",
+    "root_domain_hash",
+    "priority",
+    "discovered_round",
+]
+
+LINK_DECAY = 0.8
+
+
+class FrontierConfig:
+    def __init__(
+        self,
+        num_partitions: int = 32,
+        universe_n: int = 100_000,
+        n_hosts: int | None = None,
+        seed: int = 42,
+        links_per_fetch: int = 3,
+        default_budget: int = politeness.DEFAULT_BUDGET,
+        round_duration_ms: int = politeness.DEFAULT_ROUND_MS,
+        n_salts: int = 16,
+        filter_kind: str = "bloom",
+        buckets_per_element: int = 10,
+    ):
+        self.num_partitions = num_partitions
+        self.universe_n = universe_n
+        self.n_hosts = n_hosts or synth.default_n_hosts(universe_n)
+        self.seed = seed
+        self.links_per_fetch = links_per_fetch
+        self.default_budget = default_budget
+        self.round_duration_ms = round_duration_ms
+        self.n_salts = n_salts
+        self.filter_kind = filter_kind
+        self.buckets_per_element = buckets_per_element
+
+
+def expand_links_pdf(url_hashes: np.ndarray, cfg: FrontierConfig) -> pd.DataFrame:
+    """Deterministic out-links of fetched pages: splitmix64(url_hash, j)
+    mod universe → synthetic raw URL.  Stand-in for parsing anchors out
+    of fetched HTML (protocol.jr anchorTags) — same distribution shape,
+    fully replayable."""
+    n = len(url_hashes)
+    if n == 0:
+        return pd.DataFrame({"parent_url_hash": pd.Series(dtype=np.int64), "url": pd.Series(dtype=object)})
+    parents = np.repeat(np.asarray(url_hashes, dtype=np.int64), cfg.links_per_fetch)
+    j = np.tile(np.arange(cfg.links_per_fetch, dtype=np.int64), n)
+    with np.errstate(over="ignore"):
+        link_ids = synth._rand(parents + j * 1_000_003, 20, cfg.seed) % np.uint64(cfg.universe_n)
+    urls, _ = synth.gen_urls_pdf(link_ids.astype(np.int64), cfg.n_hosts, cfg.seed)
+    return pd.DataFrame({"parent_url_hash": parents, "url": urls.to_numpy()})
+
+
+class CrawlFrontier:
+    """Checkpointed crawl-frontier driver."""
+
+    def __init__(self, spark: SparkSession, ckpt_dir: str, cfg: FrontierConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or FrontierConfig()
+        self.ckpt = Checkpoint(ckpt_dir)
+
+    # -- plumbing ---------------------------------------------------------
+
+    def _identify(self, raw: DataFrame, round_no: int) -> DataFrame:
+        """raw(url, priority) → frontier rows (canonical identity, valid
+        only, max-priority dedup)."""
+        df = CF.with_urlfp(CF.with_canonical(raw))
+        df = df.filter("url_valid")
+        return (
+            df.groupBy("domain_hash", "url_hash")
+            .agg(
+                F.min("url").alias("url"),
+                F.min("canonical_url").alias("canonical_url"),
+                F.min("root_domain_hash").alias("root_domain_hash"),
+                F.max("priority").alias("priority"),
+                F.lit(round_no).alias("discovered_round"),
+            )
+            .select(*FRONTIER_COLS)
+        )
+
+    def _robots(self) -> DataFrame:
+        return synth.gen_robots(self.spark, self.cfg.n_hosts, self.cfg.seed)
+
+    # -- lifecycle --------------------------------------------------------
+
+    def bootstrap(self, seeds: DataFrame) -> None:
+        """Round 0: establish the frontier from the seed list."""
+        frontier = self._identify(seeds, 0).repartition(
+            self.cfg.num_partitions, "domain_hash"
+        )
+        self.ckpt.write(frontier, "frontier", 0)
+        empty_seen = self.spark.createDataFrame([], "domain_hash long, url_hash long")
+        self.ckpt.write(empty_seen, "seen", 0)
+        filters = seenset.build_filters(
+            empty_seen, self.cfg.num_partitions, self.cfg.filter_kind, self.cfg.buckets_per_element
+        )
+        self.ckpt.write(filters, "filters", 0)
+        self.ckpt.commit_round(0, {"frontier": "round=0", "seen": "round=0", "filters": "round=0"})
+
+    def run_round(self, round_no: int) -> dict:
+        """Execute one crawl round (round_no >= 1); returns metrics."""
+        spark, cfg, ckpt = self.spark, self.cfg, self.ckpt
+        prev = round_no - 1
+
+        frontier = ckpt.read(spark, "frontier", prev)
+        seen = ckpt.read_all_rounds(spark, "seen", prev)
+        filters = ckpt.read(spark, "filters", prev)
+
+        n_candidates = frontier.count()
+        if n_candidates == 0:
+            ckpt.write(frontier, "frontier", round_no)
+            ckpt.write(spark.createDataFrame([], "domain_hash long, url_hash long"), "seen", round_no)
+            ckpt.write(filters, "filters", round_no)
+            ckpt.commit_round(round_no, {"empty": "true"})
+            return {"round": round_no, "candidates": 0, "scheduled": 0, "new_links": 0}
+
+        # novelty gate: bloom/cuckoo pre-screen + exact confirm
+        novel = seenset.filter_new(frontier, seen, filters, cfg.num_partitions).cache()
+
+        # politeness: robots + budgets + salted per-host rank
+        scheduled = politeness.schedule_round(
+            novel,
+            self._robots(),
+            cfg.default_budget,
+            cfg.round_duration_ms,
+            cfg.n_salts,
+        ).withColumn("round", F.lit(round_no))
+        sched_cols = [
+            "round",
+            "host",
+            "host_rank",
+            "url",
+            "canonical_url",
+            "domain_hash",
+            "url_hash",
+            "priority",
+        ]
+        scheduled = scheduled.select(*sched_cols).cache()
+        ckpt.write(scheduled, "scheduled", round_no)
+        scheduled = ckpt.read(spark, "scheduled", round_no)  # re-read: stable lineage
+
+        # fetch simulation → discovered links
+        def _expand(batches):
+            for pdf in batches:
+                links = expand_links_pdf(pdf["url_hash"].to_numpy(), cfg)
+                links["priority"] = np.repeat(
+                    pdf["priority"].to_numpy() * LINK_DECAY, cfg.links_per_fetch
+                )
+                yield links[["url", "priority"]]
+
+        links_raw = scheduled.select("url_hash", "priority").mapInPandas(
+            _expand, schema="url string, priority double"
+        )
+        links = self._identify(links_raw, round_no)
+
+        # seen delta = scheduled identities
+        seen_delta = scheduled.select("domain_hash", "url_hash").distinct()
+        ckpt.write(seen_delta, "seen", round_no)
+        seen_new = ckpt.read_all_rounds(spark, "seen", round_no)
+
+        # next frontier: unscheduled novel + unseen links, max-priority merge
+        leftover = novel.join(seen_delta, ["domain_hash", "url_hash"], "left_anti").select(*FRONTIER_COLS)
+        links_unseen = links.join(seen_new, ["domain_hash", "url_hash"], "left_anti")
+        next_frontier = (
+            leftover.unionByName(links_unseen)
+            .groupBy("domain_hash", "url_hash")
+            .agg(
+                F.min("url").alias("url"),
+                F.min("canonical_url").alias("canonical_url"),
+                F.min("root_domain_hash").alias("root_domain_hash"),
+                F.max("priority").alias("priority"),
+                F.min("discovered_round").alias("discovered_round"),
+            )
+            .select(*FRONTIER_COLS)
+            .repartition(cfg.num_partitions, "domain_hash")
+        )
+        ckpt.write(next_frontier, "frontier", round_no)
+        next_frontier = ckpt.read(spark, "frontier", round_no)
+
+        # filters: rebuild from the full seen set per round.  (With a
+        # fixed-capacity bloom this becomes a delta-build + bitwise OR —
+        # kept simple here; the rebuild is one scan of seen, partition-local.)
+        filters_new = seenset.build_filters(
+            seen_new, cfg.num_partitions, cfg.filter_kind, cfg.buckets_per_element
+        )
+        ckpt.write(filters_new, "filters", round_no)
+
+        # lineage: per-partition commit record
+        pid = F.pmod(F.col("domain_hash"), F.lit(cfg.num_partitions)).cast("int")
+        n_novel = novel.count()
+        sched_stats = (
+            scheduled.withColumn("partition_id", pid)
+            .groupBy("partition_id")
+            .agg(
+                F.count("*").alias("urls_emitted"),
+                F.min("domain_hash").alias("hash_range_start"),
+                F.max("domain_hash").alias("hash_range_end"),
+                F.count("*").alias("fetch_budget_consumed"),
+            )
+        )
+        dedup_stats = (
+            frontier.withColumn("partition_id", pid)
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_candidates"))
+            .join(
+                novel.withColumn("partition_id", pid)
+                .groupBy("partition_id")
+                .agg(F.count("*").alias("n_novel")),
+                "partition_id",
+                "left",
+            )
+            .withColumn("urls_deduped", F.col("n_candidates") - F.coalesce(F.col("n_novel"), F.lit(0)))
+            .select("partition_id", "urls_deduped")
+        )
+        lineage = (
+            sched_stats.join(dedup_stats, "partition_id", "outer")
+            .withColumn("round", F.lit(round_no))
+            .select(
+                "round",
+                "partition_id",
+                "hash_range_start",
+                "hash_range_end",
+                F.coalesce(F.col("urls_emitted"), F.lit(0)).alias("urls_emitted"),
+                F.coalesce(F.col("urls_deduped"), F.lit(0)).alias("urls_deduped"),
+                F.coalesce(F.col("fetch_budget_consumed"), F.lit(0)).alias("fetch_budget_consumed"),
+            )
+        )
+        ckpt.write(lineage, "lineage", round_no)
+
+        n_scheduled = scheduled.count()
+        n_frontier = next_frontier.count()
+        novel.unpersist()
+
+        ckpt.commit_round(
+            round_no,
+            {t: f"round={round_no}" for t in ("frontier", "seen", "filters", "scheduled", "lineage")},
+            extra={"scheduled": n_scheduled, "frontier_size": n_frontier},
+        )
+        return {
+            "round": round_no,
+            "candidates": n_candidates,
+            "novel": n_novel,
+            "scheduled": n_scheduled,
+            "frontier_size": n_frontier,
+        }
+
+    def run(self, seeds: DataFrame | None, num_rounds: int) -> list[dict]:
+        """Run/resume the crawl.  If a committed manifest exists, resume
+        after its round (idempotent; a killed job re-runs only the
+        uncommitted round)."""
+        last = self.ckpt.last_committed_round()
+        if last is None:
+            assert seeds is not None, "first run needs a seed list"
+            self.bootstrap(seeds)
+            last = 0
+        else:
+            self.ckpt.drop_rounds_after(last)
+        metrics = []
+        for r in range(last + 1, last + 1 + num_rounds):
+            m = self.run_round(r)
+            metrics.append(m)
+            if m["scheduled"] == 0 and m.get("frontier_size", 0) == 0:
+                break
+        return metrics

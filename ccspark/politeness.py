@@ -1,0 +1,107 @@
+"""Per-host politeness scheduling: robots gating + crawl-delay budgets +
+salted window/rank priority queue.
+
+The reference has no robots parser (grep: only meta-robots flag bits,
+protocol.jr:31-38) and rate-limits at fetch time
+(BandwidthUtils.java:158-207); per the north_rule this module lifts both
+into the batch plan:
+
+* robots gate — join the per-host rules table, drop candidates whose
+  path matches a disallow prefix (pure Catalyst: ``exists(startswith)``);
+* budget — ``max_fetches_per_round`` capped by
+  ``round_duration_ms / crawl_delay_ms`` (the 1-second-window token
+  budget of BandwidthUtils.checkRateLimit, generalized to a round);
+* priority queue — deterministic total order
+  ``(priority DESC, domain_hash, url_hash)`` ranked per host with
+  **two-stage salted top-k**: stage 1 ranks within ``(host, salt)`` and
+  keeps at most ``budget`` rows per salt, stage 2 ranks the survivors
+  exactly per host.  Hot hosts (zipf head) therefore never serialize a
+  single window partition; the result is identical to the unsalted rank
+  because stage 1 only discards rows that could never make the top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUDGET = 10
+DEFAULT_ROUND_MS = 60_000
+PATH_RE = r"^[a-z]+://[^/]+(/.*)?$"
+
+
+def with_host_and_path(df: DataFrame, canonical_col: str = "canonical_url") -> DataFrame:
+    """Derive host and path columns from the canonical URL (Catalyst only)."""
+    return df.withColumn(
+        "host", F.regexp_extract(F.col(canonical_col), r"^[a-z]+://(?:[^/@]*@)?([^/:?#]+)", 1)
+    ).withColumn(
+        "path",
+        F.when(
+            F.length(F.regexp_extract(F.col(canonical_col), PATH_RE, 1)) > 0,
+            F.regexp_extract(F.col(canonical_col), PATH_RE, 1),
+        ).otherwise(F.lit("/")),
+    )
+
+
+def robots_allow(df: DataFrame, robots: DataFrame, broadcast_robots: bool = True) -> DataFrame:
+    """Filter out disallowed paths; hosts without rules default-allow."""
+    r = robots.select("host", "disallow_prefixes", "crawl_delay_ms", "max_fetches_per_round")
+    if broadcast_robots:
+        r = F.broadcast(r)
+    joined = df.join(r, "host", "left")
+    disallowed = F.when(
+        F.col("disallow_prefixes").isNotNull(),
+        F.exists("disallow_prefixes", lambda p: F.col("path").startswith(p)),
+    ).otherwise(F.lit(False))
+    return joined.filter(~disallowed)
+
+
+def with_budget(
+    df: DataFrame,
+    default_budget: int = DEFAULT_BUDGET,
+    round_duration_ms: int = DEFAULT_ROUND_MS,
+) -> DataFrame:
+    """Effective per-host fetch budget for one round."""
+    delay_cap = F.when(
+        F.col("crawl_delay_ms").isNotNull() & (F.col("crawl_delay_ms") > 0),
+        F.greatest(F.lit(1), (F.lit(round_duration_ms) / F.col("crawl_delay_ms")).cast("int")),
+    )
+    base = F.coalesce(F.col("max_fetches_per_round"), F.lit(default_budget))
+    return df.withColumn("budget", F.least(base, F.coalesce(delay_cap, base)))
+
+
+def rank_per_host(df: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Two-stage salted priority rank; output keeps rows with
+    ``host_rank <= budget`` and carries the deterministic rank."""
+    order = [F.desc("priority"), F.asc("domain_hash"), F.asc("url_hash")]
+    salted = df.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int"))
+    w1 = Window.partitionBy("host", "salt").orderBy(*order)
+    pruned = (
+        salted.withColumn("salt_rank", F.row_number().over(w1))
+        .filter(F.col("salt_rank") <= F.col("budget"))
+        .drop("salt_rank", "salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        pruned.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= F.col("budget"))
+    )
+
+
+def schedule_round(
+    candidates: DataFrame,
+    robots: DataFrame,
+    default_budget: int = DEFAULT_BUDGET,
+    round_duration_ms: int = DEFAULT_ROUND_MS,
+    n_salts: int = 16,
+    broadcast_robots: bool = True,
+) -> DataFrame:
+    """Full politeness gate: host/path → robots → budget → salted rank.
+
+    Input needs (canonical_url, priority, domain_hash, url_hash);
+    output adds host, path, budget, host_rank (the per-host fetch order).
+    """
+    df = with_host_and_path(candidates)
+    df = robots_allow(df, robots, broadcast_robots)
+    df = with_budget(df, default_budget, round_duration_ms)
+    return rank_per_host(df, n_salts).drop("disallow_prefixes", "crawl_delay_ms", "max_fetches_per_round")

@@ -1,0 +1,261 @@
+"""Partitioned URL-seen set: bloom filter (reference-exact buckets) and
+cuckoo filter variant, built and probed with Arrow UDFs.
+
+Design (SURVEY.md §2.3 H4/H5, §4):
+
+* The seen-set key is URLFPV2: exact membership is the composite
+  ``(domain_hash, url_hash)`` (protocol.jr:131-132 ``[key]`` fields);
+  the probabilistic pre-filter hashes ``url_hash`` (the fp64 of the full
+  canonical URL) as the reference's long-key bloom path
+  (BloomFilter.add(long) → Filter.getHashBuckets(long),
+  Filter.java:85-104).
+* One filter per hash-range partition ``pmod(domain_hash, P)``.  Build =
+  ``groupBy(partition_id).applyInPandas``; probe = cogrouped
+  ``applyInPandas`` so filter blobs and candidates meet on the SAME
+  partitioning — no broadcast of multi-GB filter state, no reshuffle of
+  the build side at 10^10 scale.
+* Bloom sizing matches BloomCalculations (computeBestK table :37-41,
+  bitset size ``n*bucketsPerElement+20`` rounded up to a 64-bit word
+  like java.util.BitSet) so false-positive *behavior* equals the
+  reference for the same parameters.
+* The probabilistic filter only pre-screens: candidates flagged
+  ``maybe_seen`` are confirmed with an exact left-anti join against the
+  seen table (H5 LongOpenHashSet → built-in dropDuplicates/anti-join).
+
+The cuckoo variant (north_star) keeps the same table shape; 16-bit
+fingerprints, 4-slot buckets, partial-key cuckoo hashing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import hashing
+
+# BloomCalculations.optKPerBuckets (BloomCalculations.java:37-41)
+_OPT_K = [1, 1, 1, 2, 3, 3, 4, 5, 5, 6, 7, 8, 8, 8, 8, 8]
+
+FILTER_SCHEMA = (
+    "partition_id int, kind string, hash_count int, num_buckets long, "
+    "n_keys long, bits binary"
+)
+
+
+def compute_best_k(buckets_per_element: int) -> int:
+    if buckets_per_element >= len(_OPT_K):
+        return _OPT_K[-1]
+    return _OPT_K[buckets_per_element]
+
+
+def bitset_size(num_elements: int, buckets_per_element: int) -> int:
+    """java.util.BitSet(n*b+20).size(): round up to a 64-bit word."""
+    nbits = num_elements * buckets_per_element + 20
+    return ((nbits + 63) // 64) * 64
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(keys: np.ndarray, buckets_per_element: int = 10) -> tuple[int, int, bytes]:
+    """Build one bloom bitset over int64 keys → (k, m, bits)."""
+    n = max(len(keys), 1)
+    k = compute_best_k(buckets_per_element)
+    m = bitset_size(n, buckets_per_element)
+    words = np.zeros(m // 64, dtype=np.uint64)
+    if len(keys):
+        idx = hashing.bloom_buckets_long(np.asarray(keys, dtype=np.int64), k, m).ravel()
+        np.bitwise_or.at(words, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+    return k, m, words.tobytes()
+
+
+def bloom_probe(keys: np.ndarray, k: int, m: int, bits: bytes) -> np.ndarray:
+    """Vectorized membership probe → bool array."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    words = np.frombuffer(bits, dtype=np.uint64)
+    idx = hashing.bloom_buckets_long(np.asarray(keys, dtype=np.int64), k, m)
+    hit = (words[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1)
+    return hit.all(axis=1)
+
+
+_CK_SLOTS = 4
+_CK_MAX_KICKS = 500
+
+
+def _ck_fingerprint(keys: np.ndarray) -> np.ndarray:
+    """16-bit nonzero fingerprint from murmur2 of the key."""
+    h = hashing.murmur2_fixed8(keys, np.full(len(keys), 7, dtype=np.int32)).view(np.uint32)
+    f = (h & np.uint32(0xFFFF)).astype(np.uint16)
+    return np.where(f == 0, np.uint16(1), f)
+
+
+def _ck_index1(keys: np.ndarray, nb: int) -> np.ndarray:
+    h = hashing.murmur2_fixed8(keys, np.zeros(len(keys), dtype=np.int32)).view(np.uint32)
+    return (h % np.uint32(nb)).astype(np.int64)
+
+
+def _ck_alt_index(i: np.ndarray, f: np.ndarray, nb: int) -> np.ndarray:
+    # partial-key cuckoo: i2 = (i1 ^ hash(f)) & (nb-1); nb is a power of 2
+    with np.errstate(over="ignore"):
+        fh = (f.astype(np.uint32) * np.uint32(0x5BD1E995)) & np.uint32(0xFFFFFFFF)
+    return (i.astype(np.uint64) ^ fh.astype(np.uint64)).astype(np.int64) & (nb - 1)
+
+
+def cuckoo_build(keys: np.ndarray, load_factor: float = 0.84) -> tuple[int, int, bytes]:
+    """Build a cuckoo filter → (slots_per_bucket, num_buckets, table bytes)."""
+    n = max(len(keys), 1)
+    nb = 1
+    while nb * _CK_SLOTS * load_factor < n:
+        nb <<= 1
+    table = np.zeros((nb, _CK_SLOTS), dtype=np.uint16)
+    if len(keys):
+        keys = np.asarray(keys, dtype=np.int64)
+        f = _ck_fingerprint(keys)
+        i1 = _ck_index1(keys, nb)
+        rng = np.random.RandomState(42)  # deterministic eviction choices
+        for fp, idx in zip(f, i1):
+            fp = np.uint16(fp)
+            i = int(idx)
+            placed = False
+            for cand in (i, int(_ck_alt_index(np.array([i]), np.array([fp]), nb)[0])):
+                row = table[cand]
+                empty = np.nonzero(row == 0)[0]
+                if len(empty):
+                    table[cand, empty[0]] = fp
+                    placed = True
+                    break
+                if (row == fp).any():
+                    placed = True
+                    break
+            if placed:
+                continue
+            # evict loop
+            cur = i
+            for _ in range(_CK_MAX_KICKS):
+                slot = rng.randint(_CK_SLOTS)
+                fp, table[cur, slot] = table[cur, slot], fp
+                cur = int(_ck_alt_index(np.array([cur]), np.array([fp]), nb)[0])
+                row = table[cur]
+                empty = np.nonzero(row == 0)[0]
+                if len(empty):
+                    table[cur, empty[0]] = fp
+                    fp = np.uint16(0)
+                    break
+            # on overflow the displaced fingerprint is dropped (fp>0):
+            # acceptable for a pre-filter — exact confirm catches it
+    return _CK_SLOTS, nb, table.tobytes()
+
+
+def cuckoo_probe(keys: np.ndarray, slots: int, nb: int, bits: bytes) -> np.ndarray:
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    table = np.frombuffer(bits, dtype=np.uint16).reshape(nb, slots)
+    keys = np.asarray(keys, dtype=np.int64)
+    f = _ck_fingerprint(keys)
+    i1 = _ck_index1(keys, nb)
+    i2 = _ck_alt_index(i1, f, nb)
+    hit1 = (table[i1] == f[:, None]).any(axis=1)
+    hit2 = (table[i2] == f[:, None]).any(axis=1)
+    return hit1 | hit2
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+def build_filters(
+    seen: DataFrame,
+    num_partitions: int,
+    kind: str = "bloom",
+    buckets_per_element: int = 10,
+) -> DataFrame:
+    """seen(domain_hash, url_hash, ...) → one filter row per partition."""
+    assert kind in ("bloom", "cuckoo")
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["partition_id"].iloc[0])
+        keys = pdf["url_hash"].to_numpy(dtype=np.int64)
+        keys = np.unique(keys)
+        if kind == "bloom":
+            k, m, bits = bloom_build(keys, buckets_per_element)
+        else:
+            k, m, bits = cuckoo_build(keys)
+        return pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "kind": [kind],
+                "hash_count": [k],
+                "num_buckets": [m],
+                "n_keys": [len(keys)],
+                "bits": [bits],
+            }
+        )
+
+    with_pid = seen.withColumn(
+        "partition_id", F.pmod(F.col("domain_hash"), F.lit(num_partitions)).cast("int")
+    )
+    return with_pid.groupBy("partition_id").applyInPandas(_build, schema=FILTER_SCHEMA)
+
+
+def probe_filters(candidates: DataFrame, filters: DataFrame, num_partitions: int) -> DataFrame:
+    """candidates(domain_hash, url_hash, ...) × filters → + maybe_seen.
+
+    Cogrouped on partition_id: each task sees one partition's candidates
+    and that partition's single filter blob."""
+    cand = candidates.withColumn(
+        "partition_id", F.pmod(F.col("domain_hash"), F.lit(num_partitions)).cast("int")
+    )
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = StructType(list(cand.schema.fields) + [StructField("maybe_seen", BooleanType())])
+
+    def _probe(key, cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+        if len(filt_pdf) == 0:
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+        else:
+            row = filt_pdf.iloc[0]
+            if row["kind"] == "bloom":
+                maybe = bloom_probe(keys, int(row["hash_count"]), int(row["num_buckets"]), row["bits"])
+            else:
+                maybe = cuckoo_probe(keys, int(row["hash_count"]), int(row["num_buckets"]), row["bits"])
+        out = cand_pdf.copy()
+        out["maybe_seen"] = maybe
+        return out
+
+    return (
+        cand.groupBy("partition_id")
+        .cogroup(filters.groupBy("partition_id"))
+        .applyInPandas(_probe, schema=out_schema)
+    )
+
+
+def exact_new_urls(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """Exact anti-join on the composite URLFPV2 key (H5 semantics)."""
+    return candidates.join(
+        seen.select("domain_hash", "url_hash"), ["domain_hash", "url_hash"], "left_anti"
+    )
+
+
+def filter_new(
+    candidates: DataFrame,
+    seen: DataFrame,
+    filters: DataFrame,
+    num_partitions: int,
+) -> DataFrame:
+    """Scalable two-stage novelty filter: bloom/cuckoo pre-screen, exact
+    confirm only for the (few) maybe-seen candidates.
+
+    definitely-new (≈90%+ of a growing crawl) skips the join entirely —
+    that is the point of the pre-filter at 10^10 keys."""
+    probed = probe_filters(candidates, filters, num_partitions)
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = exact_new_urls(suspect, seen)
+    return fresh.unionByName(confirmed_new)

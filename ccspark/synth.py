@@ -84,10 +84,13 @@ def _hex32(r: np.ndarray) -> pd.Series:
     return h
 
 
-def gen_pages_pdf(ids: np.ndarray, n_hosts: int, seed: int = 42) -> pd.DataFrame:
-    """Generate the pages rows for the given ids (deterministic)."""
+def gen_urls_pdf(ids: np.ndarray, n_hosts: int, seed: int = 42) -> tuple[pd.Series, np.ndarray]:
+    """URL column only (with all messy decorations) → (urls, effective_ids).
+
+    ``effective_ids`` is the logical page identity: duplicate rows map to
+    their group anchor, so two rows with the same effective id MUST
+    canonicalize to the same URLFPV2."""
     ids = np.asarray(ids, dtype=np.int64)
-    n = len(ids)
     cdf = _zipf_cdf(n_hosts)
 
     # duplicate groups: ~8% of rows re-point at the group anchor id
@@ -130,6 +133,14 @@ def gen_pages_pdf(ids: np.ndarray, n_hosts: int, seed: int = 42) -> pd.DataFrame
     sess_p = (r_dec >= 33) & (r_dec < 37) & ~sess_j
     if sess_p.any():
         url[sess_p] = url[sess_p] + "?PHPSESSID=" + sess[sess_p]
+    return url, eff_ids
+
+
+def gen_pages_pdf(ids: np.ndarray, n_hosts: int, seed: int = 42) -> pd.DataFrame:
+    """Generate the pages rows for the given ids (deterministic)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    url, eff_ids = gen_urls_pdf(ids, n_hosts, seed)
 
     # language / charset families keyed by effective id (dup rows share text)
     r_lang = _rand(eff_ids, 5, seed) % np.uint64(100)

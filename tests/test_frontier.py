@@ -1,0 +1,151 @@
+"""Frontier loop tests: distributed-vs-oracle replay equality, lineage
+consistency, and deterministic kill/resume."""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ccspark import synth
+from ccspark.frontier import CrawlFrontier, FrontierConfig
+
+from frontier_oracle import replay
+
+UNIVERSE = 2000
+N_HOSTS = 50
+SEED = 42
+ROUNDS = 3
+BUDGET = 5
+ROUND_MS = 60_000
+LINKS = 3
+
+
+def _cfg(num_partitions=8):
+    return FrontierConfig(
+        num_partitions=num_partitions,
+        universe_n=UNIVERSE,
+        n_hosts=N_HOSTS,
+        seed=SEED,
+        links_per_fetch=LINKS,
+        default_budget=BUDGET,
+        round_duration_ms=ROUND_MS,
+        n_salts=4,
+    )
+
+
+def _spark_trace(spark, ckpt_dir, upto_round):
+    fr = CrawlFrontier(spark, ckpt_dir)
+    rows = fr.ckpt.read_all_rounds(spark, "scheduled", upto_round).collect()
+    trace = {(r["round"], r["host"], r["host_rank"], r["canonical_url"]) for r in rows}
+    seen_rows = fr.ckpt.read_all_rounds(spark, "seen", upto_round).collect()
+    seen = {(r["domain_hash"], r["url_hash"]) for r in seen_rows}
+    return trace, seen
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    fr = CrawlFrontier(spark, ckpt, _cfg())
+    seeds = synth.gen_seeds(spark, UNIVERSE, N_HOSTS, SEED)
+    metrics = fr.run(seeds, ROUNDS)
+    return ckpt, metrics
+
+
+def test_rounds_progress(crawl):
+    _, metrics = crawl
+    assert len(metrics) == ROUNDS
+    assert all(m["scheduled"] > 0 for m in metrics)
+    assert metrics[0]["candidates"] > 0
+
+
+def test_trace_matches_pure_python_oracle(spark, crawl):
+    ckpt, _ = crawl
+    got_trace, got_seen = _spark_trace(spark, ckpt, ROUNDS)
+    exp_trace, exp_seen = replay(UNIVERSE, N_HOSTS, SEED, ROUNDS, BUDGET, ROUND_MS, LINKS)
+    assert got_seen == exp_seen
+    missing = exp_trace - got_trace
+    extra = got_trace - exp_trace
+    assert not missing and not extra, (
+        f"{len(missing)} missing, {len(extra)} extra; "
+        f"e.g. missing={sorted(missing)[:3]} extra={sorted(extra)[:3]}"
+    )
+
+
+def test_lineage_consistency(spark, crawl):
+    ckpt, metrics = crawl
+    fr = CrawlFrontier(spark, ckpt)
+    for m in metrics:
+        lineage = fr.ckpt.read(spark, "lineage", m["round"])
+        agg = lineage.agg(
+            F.sum("urls_emitted").alias("e"), F.sum("fetch_budget_consumed").alias("b")
+        ).collect()[0]
+        assert agg["e"] == m["scheduled"]
+        assert agg["b"] == m["scheduled"]
+
+
+def test_budget_respected(spark, crawl):
+    ckpt, _ = crawl
+    fr = CrawlFrontier(spark, ckpt)
+    robots = synth.gen_robots_pdf(N_HOSTS, SEED).set_index("host")
+    sched = fr.ckpt.read_all_rounds(spark, "scheduled", ROUNDS).toPandas()
+    per = sched.groupby(["round", "host"]).size()
+    for (rnd, host), cnt in per.items():
+        if host in robots.index:
+            row = robots.loc[host]
+            budget = int(row["max_fetches_per_round"])
+            import pandas as pd
+
+            if not pd.isna(row["crawl_delay_ms"]) and row["crawl_delay_ms"] > 0:
+                budget = min(budget, max(1, int(ROUND_MS / row["crawl_delay_ms"])))
+        else:
+            budget = BUDGET
+        assert cnt <= budget, f"{host} round {rnd}: {cnt} > {budget}"
+
+
+def test_no_disallowed_scheduled(spark, crawl):
+    ckpt, _ = crawl
+    fr = CrawlFrontier(spark, ckpt)
+    robots = synth.gen_robots_pdf(N_HOSTS, SEED)
+    sched = fr.ckpt.read_all_rounds(spark, "scheduled", ROUNDS).toPandas()
+    ruled = set(robots["host"])
+    for _, row in sched.iterrows():
+        if row["host"] in ruled:
+            assert "/private" not in row["canonical_url"]
+
+
+def test_resume_equals_straight_run(spark, tmp_path, crawl):
+    """Run 2 rounds, 'kill', resume for 1 more → identical to the 3-round
+    trace from the uninterrupted run (crawl fixture)."""
+    ckpt_b = str(tmp_path / "ckpt_b")
+    fr1 = CrawlFrontier(spark, ckpt_b, _cfg())
+    seeds = synth.gen_seeds(spark, UNIVERSE, N_HOSTS, SEED)
+    fr1.run(seeds, 2)
+    # simulate crash debris: a partially-written, uncommitted round
+    import os
+
+    debris = os.path.join(ckpt_b, "scheduled", "round=3")
+    os.makedirs(debris, exist_ok=True)
+    open(os.path.join(debris, "part-junk.parquet"), "wb").write(b"garbage")
+    # resume in a NEW driver object
+    fr2 = CrawlFrontier(spark, ckpt_b, _cfg())
+    fr2.run(None, 1)
+    trace_b, seen_b = _spark_trace(spark, ckpt_b, ROUNDS)
+    ckpt_a, _ = crawl
+    trace_a, seen_a = _spark_trace(spark, ckpt_a, ROUNDS)
+    assert trace_a == trace_b
+    assert seen_a == seen_b
+
+
+def test_partition_count_invariance(spark, tmp_path, crawl):
+    """Different parallelism must give the identical trace (north_rule
+    determinism under N vs 4N executors)."""
+    ckpt_c = str(tmp_path / "ckpt_c")
+    fr = CrawlFrontier(spark, ckpt_c, _cfg(num_partitions=2))
+    seeds = synth.gen_seeds(spark, UNIVERSE, N_HOSTS, SEED)
+    fr.run(seeds, ROUNDS)
+    trace_c, seen_c = _spark_trace(spark, ckpt_c, ROUNDS)
+    ckpt_a, _ = crawl
+    trace_a, seen_a = _spark_trace(spark, ckpt_a, ROUNDS)
+    assert trace_a == trace_c
+    assert seen_a == seen_c

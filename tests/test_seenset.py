@@ -1,0 +1,83 @@
+"""Seen-set tests: reference bloom semantics, cuckoo variant, and the
+two-stage novelty filter on Spark."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ccspark import seenset
+
+
+def test_bloom_reference_sizing():
+    # BitSet(1000*10+20).size() == 10048 (golden from java.util.BitSet)
+    assert seenset.bitset_size(1000, 10) == 10048
+    assert seenset.compute_best_k(10) == 7
+    assert seenset.compute_best_k(2) == 1
+    assert seenset.compute_best_k(99) == 8
+
+
+def test_bloom_membership_no_false_negatives():
+    rng = np.random.RandomState(7)
+    keys = rng.randint(-(2**62), 2**62, size=5000).astype(np.int64)
+    k, m, bits = seenset.bloom_build(keys, 10)
+    assert seenset.bloom_probe(keys, k, m, bits).all()
+    other = rng.randint(-(2**62), 2**62, size=20000).astype(np.int64)
+    other = other[~np.isin(other, keys)]
+    fp_rate = seenset.bloom_probe(other, k, m, bits).mean()
+    assert fp_rate < 0.03  # table says ~0.84% for 10 buckets/elem, k=7
+
+
+def test_cuckoo_membership():
+    rng = np.random.RandomState(11)
+    keys = rng.randint(-(2**62), 2**62, size=4000).astype(np.int64)
+    slots, nb, bits = seenset.cuckoo_build(keys)
+    assert seenset.cuckoo_probe(keys, slots, nb, bits).mean() > 0.999
+    other = rng.randint(-(2**62), 2**62, size=20000).astype(np.int64)
+    other = other[~np.isin(other, keys)]
+    assert seenset.cuckoo_probe(other, slots, nb, bits).mean() < 0.01
+
+
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_filter_new_on_spark(spark, kind):
+    P = 8
+    seen_pdf = pd.DataFrame(
+        {
+            "domain_hash": np.arange(1000, dtype=np.int64) % 37,
+            "url_hash": np.arange(1000, dtype=np.int64) * 7919 + 13,
+        }
+    )
+    seen = spark.createDataFrame(seen_pdf)
+    filters = seenset.build_filters(seen, P, kind=kind).cache()
+    assert filters.count() == filters.select("partition_id").distinct().count()
+
+    # candidates: 500 seen + 500 brand-new
+    cand_pdf = pd.DataFrame(
+        {
+            "domain_hash": np.concatenate(
+                [seen_pdf["domain_hash"][:500], np.arange(500, dtype=np.int64) % 41]
+            ),
+            "url_hash": np.concatenate(
+                [seen_pdf["url_hash"][:500], np.arange(500, dtype=np.int64) * 104729 + 999999]
+            ),
+            "tag": ["seen"] * 500 + ["new"] * 500,
+        }
+    )
+    cand = spark.createDataFrame(cand_pdf)
+    out = seenset.filter_new(cand, seen, filters, P).toPandas()
+    # every truly-new candidate survives; every seen candidate is dropped
+    assert sorted(out["tag"].unique()) in (["new"], ["new"])
+    assert (out["tag"] == "new").sum() == 500
+    assert len(out) == 500
+
+
+def test_probe_missing_partition_defaults_unseen(spark):
+    seen = spark.createDataFrame(
+        pd.DataFrame({"domain_hash": np.array([0], dtype=np.int64), "url_hash": np.array([1], dtype=np.int64)})
+    )
+    filters = seenset.build_filters(seen, 4, kind="bloom")
+    cand = spark.createDataFrame(
+        pd.DataFrame({"domain_hash": np.array([1, 2, 3], dtype=np.int64), "url_hash": np.array([10, 11, 12], dtype=np.int64)})
+    )
+    probed = seenset.probe_filters(cand, filters, 4).toPandas()
+    assert (~probed["maybe_seen"]).all()
