@@ -237,6 +237,131 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+
+
+def q_quality_score(spark, sf_dir):
+    """Text quality features (length/space/punct/stopword ratios)."""
+    from ccspark import textops
+
+    docs = _load(spark, sf_dir, "documents")
+    return textops.quality_columns(docs).select(
+        "doc_id",
+        F.col("space_ratio"),
+        F.col("punct_ratio"),
+        F.col("mean_token_len"),
+    )
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-shaped subword count estimate (regex tokenizer, Catalyst only)."""
+    docs = _load(spark, sf_dir, "documents")
+    words = F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]', 0)")
+    est = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.when(w.rlike("^[A-Za-z]+$"), F.ceil(F.length(w) / 4)).otherwise(F.lit(1)).cast("long"),
+    )
+    return docs.select("doc_id", est.alias("bpe_tokens"))
+
+
+def q_jaccard_3gram(spark, sf_dir):
+    """Exact 3-char-shingle Jaccard similarity for a fixed doc subset."""
+    from ccspark import dedup
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 10 AND length(text) >= 3")
+    sh = dedup.with_char_shingles(docs.select("doc_id", "text"), "text", k=3)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return dedup.jaccard_pairs(pairs).select("id_a", "id_b", "jaccard")
+
+
+def q_binary_meta(spark, sf_dir):
+    """Multimodal metadata over an opaque binary payload column."""
+    from ccspark import multimodal
+
+    docs = _load(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "utf-8"))
+    return multimodal.with_media_meta(docs, "payload", "text-blob").select(
+        "doc_id", "n_bytes", "digest"
+    )
+
+
+def q_langid(spark, sf_dir):
+    """Language-ID heuristic distribution (rows-only check)."""
+    from ccspark import textops
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("detected", textops.detect_lang(F.col("text")))
+        .groupBy("detected")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (rows-only check)."""
+    from ccspark import dedup
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 500")
+    return dedup.minhash_candidates(docs, "doc_id", "text", n_hashes=64, bands=16).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash banding near-dup pairs (rows-only check)."""
+    from ccspark import dedup
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 1000")
+    return dedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=10)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint counts per document (rows-only check)."""
+    from ccspark import textops
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 500")
+    return docs.select(
+        "doc_id", F.size(textops.doc_fingerprints(F.col("text"))).alias("n_fingerprints")
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-cell ANN top-k (approximate scale path; rows-only check)."""
+    import numpy as np
+
+    from ccspark import ann
+
+    emb = _load(spark, sf_dir, "embeddings")
+    sample = emb.orderBy("vec_id").limit(1000)
+    cents = ann.fit_centroids(sample, "embedding", n_cells=8, seed=5, sample=1000, iters=3)
+    indexed = ann.assign_cells(emb, "embedding", cents)
+    q = np.array(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"], dtype=np.float64)
+    return ann.ivf_topk(indexed.filter("vec_id <> 0"), "embedding", "vec_id", cents, q, k=10, nprobe=3)
+
+
+def q_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    from ccspark import dedup
+
+    emb = _load(spark, sf_dir, "embeddings").filter("vec_id < 1000")
+    return dedup.embedding_near_dups(emb, "vec_id", "embedding", dim=64, threshold=0.9)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal feature-extraction plumbing (stubbed decode; rows-only)."""
+    from ccspark import multimodal
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .filter("doc_id < 200")
+        .withColumn("payload", F.encode("text", "utf-8"))
+    )
+    feats = multimodal.extract_features(docs, "doc_id", "payload", deterministic_fake=True)
+    return feats.select("doc_id", "n_bytes", "width", "height", F.size("features").alias("n_features"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -254,6 +379,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": q_text_quality,
         "q_urlfp_dedup": q_urlfp_dedup,
         "q_ann_cosine_topk": q_ann_cosine_topk,
+        "q_quality_score": q_quality_score,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_jaccard_3gram": q_jaccard_3gram,
+        "q_binary_meta": q_binary_meta,
+        "q_langid": q_langid,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash_near_dup": q_simhash_near_dup,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_ann_ivf": q_ann_ivf,
+        "q_embed_near_dup": q_embed_near_dup,
+        "q_media_features": q_media_features,
     }
 
 
@@ -323,5 +459,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
             "CAST(q.qe AS DOUBLE[])) AS DOUBLE), 4) AS sim "
             "FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10"
+        ),
+        "q_quality_score": (
+            "SELECT doc_id, "
+            "ROUND((length(text) - length(replace(text, ' ', '')))::DOUBLE / greatest(length(text), 1), 4) AS space_ratio, "
+            "ROUND((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4) AS punct_ratio, "
+            "ROUND(length(replace(text, ' ', ''))::DOUBLE / greatest(len(string_split(text, ' ')), 1), 4) AS mean_token_len "
+            "FROM documents"
+        ),
+        "q_bpe_tokens": (
+            "SELECT doc_id, list_sum([CASE WHEN regexp_matches(w, '^[A-Za-z]+$') "
+            "THEN CAST(ceil(length(w)/4.0) AS BIGINT) ELSE 1 END "
+            "for w in regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')])::BIGINT AS bpe_tokens "
+            "FROM documents"
+        ),
+        "q_jaccard_3gram": (
+            "WITH s AS (SELECT doc_id, list_distinct([substring(text, i::int, 3) "
+            "for i in generate_series(1, greatest(length(text)-2, 0))]) sh "
+            "FROM documents WHERE doc_id < 10 AND length(text) >= 3) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) AS jaccard "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id"
+        ),
+        "q_binary_meta": (
+            "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS digest FROM documents"
         ),
     }

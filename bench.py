@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""ccspark benchmark harness.
+
+Default mode (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "frontier_urls_per_sec": ...}
+
+``--scaling`` mode: runs the identical frontier job at local[8] and
+local[32] (fresh subprocess each, same input) and reports throughput at
+both plus efficiency — the BASELINE.json two-cluster-size criterion
+evidenced in-sandbox.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q_scan_filter",
+    "q_agg_pricing",
+    "q_join_agg",
+    "q_topk",
+    "q_politeness_rank",
+    "q_moving_avg",
+    "q_histogram",
+    "q_distinct",
+    "q_dedup_exact",
+    "q_token_count",
+    "q_urlfp_dedup",
+    "q_ann_cosine_topk",
+]
+
+FRONTIER_UNIVERSE = 200_000
+FRONTIER_ROUNDS = 2
+FRONTIER_BUDGET = 20
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_queries() -> dict:
+    from ccspark.session import build_session
+    import __spark_entry__ as entry_mod
+
+    spark = build_session("ccspark-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + python workers once (not timed)
+    qs["q_histogram"](spark, SF_DIR).count()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    # frontier throughput at current parallelism
+    frontier_stats = run_frontier_inproc(spark)
+    spark.stop()
+    return {"timings": timings, "frontier": frontier_stats}
+
+
+def run_frontier_inproc(spark, ckpt_dir: str | None = None) -> dict:
+    from ccspark.frontier import CrawlFrontier, FrontierConfig
+    from ccspark import synth
+
+    ckpt = ckpt_dir or f"/tmp/ccspark_bench_ckpt_{os.getpid()}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cfg = FrontierConfig(
+        num_partitions=CPUS,
+        universe_n=FRONTIER_UNIVERSE,
+        seed=42,
+        default_budget=FRONTIER_BUDGET,
+        n_salts=8,
+    )
+    fr = CrawlFrontier(spark, ckpt, cfg)
+    seeds = synth.gen_seeds(spark, FRONTIER_UNIVERSE, cfg.n_hosts, 42)
+    t0 = time.time()
+    metrics = fr.run(seeds, FRONTIER_ROUNDS)
+    wall = time.time() - t0
+    scheduled = sum(m["scheduled"] for m in metrics)
+    processed = sum(m["candidates"] for m in metrics)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "wall_s": round(wall, 2),
+        "scheduled": scheduled,
+        "candidates_processed": processed,
+        "urls_per_sec": round(processed / wall, 1) if wall > 0 else None,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true", help="run frontier at local[8] and local[32]")
+    ap.add_argument("--cpus", type=int, default=None, help="(internal) run frontier once at this parallelism")
+    args = ap.parse_args()
+
+    if args.cpus is not None:
+        # subprocess worker for --scaling
+        os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+        global CPUS
+        CPUS = args.cpus
+        from ccspark.session import build_session
+
+        spark = build_session("ccspark-scale", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus)
+        stats = run_frontier_inproc(spark)
+        spark.stop()
+        print(json.dumps(stats))
+        return 0
+
+    if args.scaling:
+        results = {}
+        for n in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpus", str(n)],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "SPARK_GRAFT_CPUS": str(n)},
+            )
+            last = out.stdout.strip().splitlines()[-1]
+            results[f"local[{n}]"] = json.loads(last)
+        t8 = results["local[8]"]["urls_per_sec"]
+        t32 = results["local[32]"]["urls_per_sec"]
+        eff = round((t32 / t8) / (32 / 8), 3) if t8 else None
+        print(json.dumps({"scaling": results, "efficiency_8_to_32": eff}))
+        return 0
+
+    res = run_queries()
+    total = round(sum(res["timings"].values()), 3)
+    out = {
+        "metric": "headline query wall time (sum) + frontier round throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": res["timings"],
+        "sf": _sf_of(SF_DIR),
+        "frontier": res["frontier"],
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

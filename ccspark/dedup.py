@@ -1,0 +1,260 @@
+"""Document deduplication operators for large-scale corpus curation.
+
+Five families, each scale-shaped for a 1000-executor cluster:
+
+* exact         — hash-groupBy on content digest (one shuffle on md5);
+* minhash LSH   — shingle → minhash signature (Arrow UDF, numpy) →
+                  band → bucket self-join (shuffle on band hash, never
+                  all-pairs) → signature-estimated Jaccard;
+* simhash       — reference simhash64 (SimHash.java:55-106) + 4×16-bit
+                  band index: hamming ≤ 3 ⇒ at least one band equal, so
+                  candidate generation is an equi-join, verification a
+                  codegen ``bit_count(a^b)``;
+* n-gram Jaccard— exact character-shingle Jaccard via built-in
+                  array_intersect/array_union on candidate pairs;
+* embedding     — cosine near-dup via random-hyperplane signatures
+                  (same band-join shape) + exact cosine verify.
+
+All candidate generation is equi-join based: the only shuffles are on
+(band_id, band_hash) keys, so cost is O(candidates) not O(n²).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from . import hashing
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the minimum-id row per exact content hash."""
+    return (
+        df.withColumn("_h", F.md5(F.col(content_col)))
+        .withColumn("_keep", F.row_number().over(Window.partitionBy("_h").orderBy(id_col)))
+        .filter(F.col("_keep") == 1)
+        .drop("_h", "_keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str | None, n_hashes: int, shingle_k: int, seed: int) -> np.ndarray:
+    """MinHash signature over k-char shingles (uint64 → int64)."""
+    if not text or len(text) < shingle_k:
+        return np.full(n_hashes, np.iinfo(np.int64).max, dtype=np.int64)
+    # byte-level k-shingles hashed with a polynomial rolling scheme
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(data) < shingle_k:
+        return np.full(n_hashes, np.iinfo(np.int64).max, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(data) - shingle_k + 1, dtype=np.uint64)
+        for i in range(shingle_k):
+            h = h * np.uint64(1099511628211) + data[i : len(data) - shingle_k + 1 + i]
+        shingles = np.unique(h)
+        a, b = _minhash_params(n_hashes, seed)
+        # (a*x + b) mod p, p = 2^61-1 (double-wide via python not needed:
+        # use mod on uint64 with splitmix pre-mix for uniformity)
+        z = shingles
+        z = (z ^ (z >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        z = z ^ (z >> np.uint64(33))
+        vals = (a[None, :] * (z[:, None] & np.uint64(0x7FFFFFFFFFFFFFF)) + b[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0).astype(np.int64)
+
+
+def with_minhash(
+    df: DataFrame, text_col: str, n_hashes: int = 64, shingle_k: int = 5, seed: int = 1
+) -> DataFrame:
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: minhash_signature(t, n_hashes, shingle_k, seed).tolist())
+
+    return df.withColumn("minhash", _sig(F.col(text_col)))
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 1,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) with signature-estimated Jaccard."""
+    rows_per_band = n_hashes // bands
+    sig = with_minhash(df.select(id_col, text_col), text_col, n_hashes, shingle_k, seed)
+    banded = sig.select(
+        F.col(id_col).alias("doc"),
+        "minhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(F.slice("minhash", i * rows_per_band + 1, rows_per_band)).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "minhash", "bb.band", "bb.bh")
+    left = banded.select(
+        F.col("doc").alias("id_a"), F.col("minhash").alias("sig_a"), "band", "bh"
+    )
+    right = banded.select(
+        F.col("doc").alias("id_b"), F.col("minhash").alias("sig_b"), "band", "bh"
+    )
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(n_hashes)
+    return pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# simhash banding
+# ---------------------------------------------------------------------------
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash banding (guaranteed complete for
+    hamming ≤ 3 with 4 bands) + exact hamming verify in codegen."""
+    from . import functions as CF
+
+    sigs = df.select(F.col(id_col).alias("doc"), CF.simhash64(F.col(text_col)).alias("sh"))
+    bands = sigs.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("sh", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sh", "bb.band", "bb.bh")
+    left = bands.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bh")
+    right = bands.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, built-in array ops)
+# ---------------------------------------------------------------------------
+
+
+def with_char_shingles(df: DataFrame, text_col: str, k: int = 3, out_col: str = "shingles") -> DataFrame:
+    """Distinct k-char shingle array via built-in sequence/transform."""
+    shingles = F.array_distinct(
+        F.expr(f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)), i -> substring({text_col}, i, {k}))")
+    )
+    return df.withColumn(out_col, shingles)
+
+
+def jaccard_pairs(pairs: DataFrame, shingles_a: str = "sh_a", shingles_b: str = "sh_b") -> DataFrame:
+    inter = F.size(F.array_intersect(shingles_a, shingles_b))
+    union = F.size(F.array_union(shingles_a, shingles_b))
+    return pairs.withColumn("jaccard", F.round(inter / union, 4))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 3,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs via random-hyperplane LSH + exact verify."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim).astype(np.float64)
+
+    @pandas_udf(LongType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        bits = (mat @ planes.T) > 0
+        out = np.zeros(len(mat), dtype=np.int64)
+        for i in range(n_planes):
+            out |= bits[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    bits_per_band = n_planes // bands
+    sigs = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"), _sig(F.col(vec_col)).alias("sig"))
+    banded = sigs.select(
+        "doc",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("sig", i * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "v", "bb.band", "bb.bh")
+    left = banded.select(F.col("doc").alias("id_a"), F.col("v").alias("v_a"), "band", "bh")
+    right = banded.select(F.col("doc").alias("id_b"), F.col("v").alias("v_b"), "band", "bh")
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda a, b: a.cast("double") * b.cast("double")), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate("v_a", F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate("v_b", F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double")))
+    return (
+        pairs.withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -63,6 +63,7 @@ class FrontierConfig:
         n_salts: int = 16,
         filter_kind: str = "bloom",
         buckets_per_element: int = 10,
+        capacity_per_partition: int | None = None,
     ):
         self.num_partitions = num_partitions
         self.universe_n = universe_n
@@ -74,6 +75,10 @@ class FrontierConfig:
         self.n_salts = n_salts
         self.filter_kind = filter_kind
         self.buckets_per_element = buckets_per_element
+        # fixed bloom capacity → per-round delta build + bitwise-OR merge
+        self.capacity_per_partition = capacity_per_partition or max(
+            4 * universe_n // num_partitions, 1024
+        )
 
 
 def expand_links_pdf(url_hashes: np.ndarray, cfg: FrontierConfig) -> pd.DataFrame:
@@ -133,10 +138,19 @@ class CrawlFrontier:
         empty_seen = self.spark.createDataFrame([], "domain_hash long, url_hash long")
         self.ckpt.write(empty_seen, "seen", 0)
         filters = seenset.build_filters(
-            empty_seen, self.cfg.num_partitions, self.cfg.filter_kind, self.cfg.buckets_per_element
+            empty_seen,
+            self.cfg.num_partitions,
+            self.cfg.filter_kind,
+            self.cfg.buckets_per_element,
+            capacity=self.cfg.capacity_per_partition if self.cfg.filter_kind == "bloom" else None,
         )
         self.ckpt.write(filters, "filters", 0)
-        self.ckpt.commit_round(0, {"frontier": "round=0", "seen": "round=0", "filters": "round=0"})
+        n0 = frontier.count()
+        self.ckpt.commit_round(
+            0,
+            {"frontier": "round=0", "seen": "round=0", "filters": "round=0"},
+            extra={"frontier_size": n0},
+        )
 
     def run_round(self, round_no: int) -> dict:
         """Execute one crawl round (round_no >= 1); returns metrics."""
@@ -147,7 +161,12 @@ class CrawlFrontier:
         seen = ckpt.read_all_rounds(spark, "seen", prev)
         filters = ckpt.read(spark, "filters", prev)
 
-        n_candidates = frontier.count()
+        prev_manifest = ckpt.read_manifest() or {}
+        n_candidates = (
+            int(prev_manifest["frontier_size"])
+            if prev_manifest.get("round") == prev and "frontier_size" in prev_manifest
+            else frontier.count()
+        )
         if n_candidates == 0:
             ckpt.write(frontier, "frontier", round_no)
             ckpt.write(spark.createDataFrame([], "domain_hash long, url_hash long"), "seen", round_no)
@@ -218,17 +237,26 @@ class CrawlFrontier:
         ckpt.write(next_frontier, "frontier", round_no)
         next_frontier = ckpt.read(spark, "frontier", round_no)
 
-        # filters: rebuild from the full seen set per round.  (With a
-        # fixed-capacity bloom this becomes a delta-build + bitwise OR —
-        # kept simple here; the rebuild is one scan of seen, partition-local.)
-        filters_new = seenset.build_filters(
-            seen_new, cfg.num_partitions, cfg.filter_kind, cfg.buckets_per_element
-        )
+        # filters: bloom → incremental (delta build over this round's new
+        # identities, then bitwise-OR with the previous filter — never a
+        # full-seen rescan); cuckoo → rebuild (no cheap union).
+        if cfg.filter_kind == "bloom":
+            delta_filters = seenset.build_filters(
+                seen_delta,
+                cfg.num_partitions,
+                "bloom",
+                cfg.buckets_per_element,
+                capacity=cfg.capacity_per_partition,
+            )
+            filters_new = seenset.merge_filters(filters, delta_filters)
+        else:
+            filters_new = seenset.build_filters(
+                seen_new, cfg.num_partitions, "cuckoo", cfg.buckets_per_element
+            )
         ckpt.write(filters_new, "filters", round_no)
 
         # lineage: per-partition commit record
         pid = F.pmod(F.col("domain_hash"), F.lit(cfg.num_partitions)).cast("int")
-        n_novel = novel.count()
         sched_stats = (
             scheduled.withColumn("partition_id", pid)
             .groupBy("partition_id")
@@ -268,8 +296,12 @@ class CrawlFrontier:
         )
         ckpt.write(lineage, "lineage", round_no)
 
-        n_scheduled = scheduled.count()
-        n_frontier = next_frontier.count()
+        # derive counts from the (tiny) lineage table + parquet metadata —
+        # avoids extra full-table jobs per round
+        lin_pdf = ckpt.read(spark, "lineage", round_no).toPandas()
+        n_scheduled = int(lin_pdf["urls_emitted"].sum())
+        n_novel = n_candidates - int(lin_pdf["urls_deduped"].sum())
+        n_frontier = next_frontier.count()  # parquet count: metadata-only
         novel.unpersist()
 
         ckpt.commit_round(

@@ -174,8 +174,14 @@ def build_filters(
     num_partitions: int,
     kind: str = "bloom",
     buckets_per_element: int = 10,
+    capacity: int | None = None,
 ) -> DataFrame:
-    """seen(domain_hash, url_hash, ...) → one filter row per partition."""
+    """seen(domain_hash, url_hash, ...) → one filter row per partition.
+
+    ``capacity`` (bloom only) fixes the bitset size to
+    ``bitset_size(capacity, b)`` regardless of the actual key count, so
+    filters built over different key sets are bitwise-OR mergeable
+    (incremental per-round delta builds instead of full rebuilds)."""
     assert kind in ("bloom", "cuckoo")
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -183,7 +189,16 @@ def build_filters(
         keys = pdf["url_hash"].to_numpy(dtype=np.int64)
         keys = np.unique(keys)
         if kind == "bloom":
-            k, m, bits = bloom_build(keys, buckets_per_element)
+            if capacity is not None:
+                k = compute_best_k(buckets_per_element)
+                m = bitset_size(capacity, buckets_per_element)
+                words = np.zeros(m // 64, dtype=np.uint64)
+                if len(keys):
+                    idx = hashing.bloom_buckets_long(keys, k, m).ravel()
+                    np.bitwise_or.at(words, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+                bits = words.tobytes()
+            else:
+                k, m, bits = bloom_build(keys, buckets_per_element)
         else:
             k, m, bits = cuckoo_build(keys)
         return pd.DataFrame(
@@ -233,6 +248,32 @@ def probe_filters(candidates: DataFrame, filters: DataFrame, num_partitions: int
         cand.groupBy("partition_id")
         .cogroup(filters.groupBy("partition_id"))
         .applyInPandas(_probe, schema=out_schema)
+    )
+
+
+def merge_filters(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Bitwise-OR union of equally-sized bloom filters per partition.
+
+    Valid only for bloom filters built with the same fixed ``capacity``
+    (same num_buckets / hash_count).  A missing side passes through."""
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 1:
+            return pdf
+        m = int(pdf["num_buckets"].iloc[0])
+        assert (pdf["num_buckets"] == m).all(), "merge_filters: mismatched filter sizes"
+        acc = np.zeros(m // 64, dtype=np.uint64)
+        for b in pdf["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        out = pdf.iloc[[0]].copy()
+        out["bits"] = [acc.tobytes()]
+        out["n_keys"] = [int(pdf["n_keys"].sum())]  # upper bound (dups unknown)
+        return out
+
+    return (
+        old.unionByName(delta)
+        .groupBy("partition_id")
+        .applyInPandas(lambda pdf: _merge(pdf), schema=FILTER_SCHEMA)
     )
 
 

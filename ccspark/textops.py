@@ -1,0 +1,149 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting (winnowing).
+
+Built-in-first: everything SQL-expressible stays in Catalyst; only the
+n-gram language heuristic and the winnowing fingerprint drop into Arrow
+pandas UDFs (numpy kernels, no per-row Python loops in the hot path).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType, StringType
+
+from . import hashing
+
+# ---------------------------------------------------------------------------
+# language id — deterministic charset/stopword heuristic
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "de": (" der ", " die ", " und ", " über ", "ß", "ä", "ö", "ü"),
+    "es": (" el ", " la ", " los ", " según ", " mientras ", "ñ", "á", "í"),
+    "fr": (" le ", " la ", " les ", " selon ", " côté ", "ç", "è", "é"),
+}
+_CJK_RE = re.compile(r"[一-鿿]")
+
+
+def detect_lang_batch(texts: pd.Series) -> pd.Series:
+    """Deterministic language guess: CJK chars → zh; best marker hit
+    among de/es/fr; default en."""
+    s = texts.fillna("").str.lower()
+    out = np.full(len(s), "en", dtype=object)
+    cjk = s.str.contains(_CJK_RE, regex=True)
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        sc = np.zeros(len(s), dtype=np.int64)
+        for m in markers:
+            sc += s.str.count(re.escape(m)).to_numpy(dtype=np.int64)
+        scores[lang] = sc
+    stacked = np.stack([scores["de"], scores["es"], scores["fr"]])
+    best = stacked.argmax(axis=0)
+    best_score = stacked.max(axis=0)
+    langs = np.array(["de", "es", "fr"], dtype=object)
+    out = np.where(best_score > 0, langs[best], out)
+    out = np.where(cjk.to_numpy(), "zh", out)
+    return pd.Series(out, index=texts.index)
+
+
+@pandas_udf(StringType())
+def detect_lang(texts: pd.Series) -> pd.Series:
+    return detect_lang_batch(texts)
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — pure Catalyst
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+
+
+def token_count(text_col: str | Column) -> Column:
+    return F.size(F.split(text_col, " "))
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-shape quality features."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_space = n_chars - F.length(F.regexp_replace(c, " ", ""))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+    stop_hits = sum(
+        (F.size(F.split(F.concat(F.lit(" "), c, F.lit(" ")), f" {w} ")) - 1) for w in _STOPWORDS
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens_q", n_tokens)
+        .withColumn("space_ratio", F.round(n_space / F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn("stopword_ratio", F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4))
+        .withColumn(
+            "mean_token_len",
+            F.round((n_chars - n_space) / F.greatest(n_tokens, F.lit(1)), 4),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token estimate — regex word/number/punct split, pure Catalyst
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def bpe_token_estimate(text_col: str | Column) -> Column:
+    """Approximate subword count: words cost ceil(len/4), numbers and
+    punctuation 1 each (a BPE-shaped estimator in pure SQL functions)."""
+    words = F.expr(f"regexp_extract_all({text_col if isinstance(text_col, str) else '___'}, '{_BPE_RE}', 0)")
+    return F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.when(w.rlike("^[A-Za-z]+$"), F.ceil(F.length(w) / 4)).otherwise(F.lit(1)).cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint — rolling Rabin-style hash + window minima
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(text: str | None, k: int = 8, window: int = 16) -> list[int]:
+    """Winnowing (Schleimer/Wilkerson/Aiken): k-gram rolling hashes, keep
+    the minimum of each sliding window (rightmost on ties) → document
+    fingerprint set.  Deterministic, vectorized."""
+    if not text or len(text) < k:
+        return []
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(data) < k:
+        return []
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(data) - k + 1, dtype=np.uint64)
+        for i in range(k):
+            h = h * np.uint64(1099511628211) + data[i : len(data) - k + 1 + i]
+    if len(h) <= window:
+        return [int(h.min().view(np.int64))] if len(h) else []
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(h, window)
+    mins = wins.min(axis=1)
+    picked = np.unique(mins)
+    return picked.view(np.int64).tolist()
+
+
+@pandas_udf(ArrayType(LongType()))
+def doc_fingerprints(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: winnow_fingerprints(t))
+
+
+@pandas_udf(LongType())
+def fp64_text(texts: pd.Series) -> pd.Series:
+    """Whole-document Rabin FP64 (content signature, MD5Signature analog)."""
+    return pd.Series(hashing.fp64_utf16(texts.tolist()), index=texts.index)

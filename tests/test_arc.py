@@ -1,0 +1,75 @@
+"""ARC container round-trip tests, mirroring the reference's synthetic
+test recipe (ArcFileReaderTests.java:389-491): random unicode URLs
+including one with a space (forcing the malformed-metadata fallback),
+random headers, 1000-3000 byte payloads; byte-compare on re-read."""
+
+import random
+
+import pytest
+
+from ccspark import arc
+
+
+def _records(n=50, seed=7):
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        url = f"http://host{rng.randint(0, 20)}.example.com/p/{i}"
+        if i % 10 == 3:
+            url += " with space"  # malformed metadata line path
+        if i % 7 == 0:
+            url += "?q=é中"
+        payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(1000, 3000)))
+        headers = [(f"X-H{j}", f"v{rng.randint(0, 999)}") for j in range(rng.randint(1, 3))]
+        headers.append(("Content-Type", "text/html; charset=utf-8"))
+        out.append({"url": url, "payload": payload, "headers": headers})
+    return out
+
+
+def test_roundtrip_bytes():
+    recs = _records()
+    blob = arc.write_arc_bytes(recs, "t.arc.gz")
+    back = list(arc.read_arc_bytes(blob, "t.arc.gz"))
+    assert len(back) == len(recs)
+    for orig, got in zip(recs, back):
+        assert got["url"] == orig["url"]
+        assert got["payload"] == orig["payload"], got["url"]
+        got_headers = dict(got["headers"])
+        for k, v in orig["headers"]:
+            assert got_headers[k] == v
+        assert got["mime"] == "text/html"
+        assert got["host_ip"] == "0.0.0.0"
+
+
+def test_offsets_monotonic_and_header_member_skipped():
+    recs = _records(5)
+    blob = arc.write_arc_bytes(recs)
+    back = list(arc.read_arc_bytes(blob))
+    offsets = [r["arc_offset"] for r in back]
+    assert offsets == sorted(offsets)
+    assert offsets[0] > 0  # first member (filedesc) was skipped
+
+
+def test_empty_archive():
+    blob = arc.write_arc_bytes([])
+    assert list(arc.read_arc_bytes(blob)) == []
+
+
+def test_scan_arc_spark(spark, tmp_path):
+    recs = _records(30)
+    for part in range(3):
+        (tmp_path / f"f{part}.arc.gz").write_bytes(
+            arc.write_arc_bytes(recs[part * 10 : (part + 1) * 10], f"f{part}.arc.gz")
+        )
+    (tmp_path / "ignored.txt").write_text("not an arc")
+    df = arc.scan_arc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 30
+    assert len({r["arc_file"] for r in rows}) == 3
+    by_url = {r["url"]: r for r in rows}
+    for rec in recs:
+        got = by_url[rec["url"]]
+        assert bytes(got["payload"]) == rec["payload"]
+        hd = {h["key"]: h["value"] for h in got["headers"]}
+        for k, v in rec["headers"]:
+            assert hd[k] == v

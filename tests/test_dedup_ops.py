@@ -1,0 +1,134 @@
+"""Tests for dedup / textops / ann / multimodal operators, plus
+rows-only driver queries (entries without a SQL oracle must still run
+and return sane results)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from ccspark import ann, dedup, multimodal, textops
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"),
+        (1, "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat and runs far away into the woods tonight"),  # near dup
+        (3, "completely different content about distributed query engines and shuffle strategies"),
+        (4, "ein ganz anderer deutscher text über bäume und straßen mit vielen wörtern und sätzen"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(base, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    out = dedup.exact_dedup(docs_with_dups, "text", "doc_id").toPandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4]
+
+
+def test_minhash_finds_near_dup(spark, docs_with_dups):
+    pairs = dedup.minhash_candidates(docs_with_dups, "doc_id", "text", n_hashes=64, bands=16).toPandas()
+    pairs = pairs.set_index(["id_a", "id_b"])["est_jaccard"]
+    assert pairs.loc[(0, 1)] == 1.0  # exact dup → identical signatures
+    assert pairs.loc[(0, 2)] > 0.5  # near dup
+    assert (3, 4) not in pairs.index or pairs.loc[(3, 4)] < 0.3
+
+
+def test_simhash_near_dups(spark, docs_with_dups):
+    # banding is complete for hamming <= 3: exact dup (0) and the
+    # 'tonite' variant (hamming 2) must be found; unrelated docs must not
+    base = docs_with_dups.toPandas()
+    extra = pd.DataFrame(
+        [(5, base.loc[0, "text"].replace("tonight", "tonite"))], columns=["doc_id", "text"]
+    )
+    df = docs_with_dups.sparkSession.createDataFrame(pd.concat([base, extra]))
+    out = dedup.simhash_near_dups(df, "doc_id", "text", max_hamming=3).toPandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got
+    assert (0, 5) in got and (1, 5) in got
+    assert (0, 3) not in got
+
+
+def test_jaccard_shingles(spark, docs_with_dups):
+    sh = dedup.with_char_shingles(docs_with_dups, "text", k=3)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    pairs = dedup.jaccard_pairs(a.crossJoin(b).filter("id_a < id_b")).toPandas()
+    j = pairs.set_index(["id_a", "id_b"])["jaccard"]
+    assert j.loc[(0, 1)] == 1.0
+    assert j.loc[(0, 2)] > 0.8
+    assert j.loc[(0, 3)] < 0.4
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 16)
+    vecs = np.vstack([base, base[:5] + rng.randn(5, 16) * 0.01])  # 5 near-dups
+    pdf = pd.DataFrame({"vec_id": np.arange(25, dtype=np.int64), "embedding": [v.astype(np.float32).tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    out = dedup.embedding_near_dups(df, "vec_id", "embedding", dim=16, threshold=0.99).toPandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    found = sum((i, 20 + i) in got for i in range(5))
+    assert found >= 4  # LSH may miss at most 1 of the 5 planted pairs
+
+
+def test_langid_detects_german(spark, docs_with_dups):
+    out = docs_with_dups.withColumn("l", textops.detect_lang(F.col("text"))).toPandas()
+    assert out.set_index("doc_id")["l"][4] == "de"
+    assert out.set_index("doc_id")["l"][0] == "en"
+
+
+def test_winnow_fingerprints_deterministic():
+    a = textops.winnow_fingerprints("the quick brown fox jumps over the lazy dog" * 5)
+    b = textops.winnow_fingerprints("the quick brown fox jumps over the lazy dog" * 5)
+    assert a == b and len(a) > 0
+
+
+def test_ann_ivf_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = np.array(emb.filter("vec_id = 0").collect()[0]["embedding"], dtype=np.float64)
+    exact = ann.brute_force_topk(emb.filter("vec_id <> 0"), "embedding", "vec_id", q, k=10).toPandas()
+    cents = ann.fit_centroids(emb.orderBy("vec_id").limit(1000), "embedding", n_cells=8, seed=5, sample=1000, iters=3)
+    indexed = ann.assign_cells(emb, "embedding", cents)
+    approx = ann.ivf_topk(indexed.filter("vec_id <> 0"), "embedding", "vec_id", cents, q, k=10, nprobe=3).toPandas()
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_multimodal_stub_raises_without_fake(spark, docs_with_dups):
+    df = docs_with_dups.withColumn("payload", F.encode("text", "utf-8"))
+    feats = multimodal.extract_features(df, "doc_id", "payload", deterministic_fake=False)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        feats.collect()
+
+
+def test_multimodal_fake_features(spark, docs_with_dups):
+    df = docs_with_dups.withColumn("payload", F.encode("text", "utf-8"))
+    feats = multimodal.extract_features(df, "doc_id", "payload", deterministic_fake=True).toPandas()
+    assert len(feats) == 5
+    assert (feats["n_bytes"] > 0).all()
+    assert feats["features"].map(len).eq(16).all()
+    # deterministic: same payload → same digest/features
+    again = multimodal.extract_features(df, "doc_id", "payload", deterministic_fake=True).toPandas()
+    assert feats.sort_values("doc_id")["digest"].tolist() == again.sort_values("doc_id")["digest"].tolist()
+
+
+ROWS_ONLY = [
+    "q_langid",
+    "q_minhash_lsh",
+    "q_simhash_near_dup",
+    "q_doc_fingerprint",
+    "q_ann_ivf",
+    "q_embed_near_dup",
+    "q_media_features",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
