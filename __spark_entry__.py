@@ -54,7 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
     agg — the crawl-identity core of SURVEY.md §7 step 3)."""
     sf_dir = "/root/testdata/sf0.001"
     pages = _doc_pages(spark, sf_dir)
-    df = CF.with_urlfp(CF.with_canonical(pages), num_partitions=32)
+    df = CF.with_canonical_urlfp(pages)
     return (
         df.filter("url_valid")
         .withColumn("host", CF.url_host(F.col("canonical_url")))
@@ -203,7 +203,7 @@ def q_urlfp_dedup(spark, sf_dir):
     Oracle-checkable because the url derivation is deterministic: the
     canonical identity of each messy url is exactly its (source, doc_id)."""
     pages = _doc_pages(spark, sf_dir)
-    df = CF.with_urlfp(CF.with_canonical(pages))
+    df = CF.with_canonical_urlfp(pages)
     return (
         df.filter("url_valid")
         .withColumn("host", CF.url_host(F.col("canonical_url")))
@@ -362,6 +362,85 @@ def q_media_features(spark, sf_dir):
     return feats.select("doc_id", "n_bytes", "width", "height", F.size("features").alias("n_features"))
 
 
+def q_codecs(spark, sf_dir):
+    """P14 codec surface: md5/sha256/base64/hex via built-ins."""
+    from ccspark import scalar_ops
+
+    docs = _load(spark, sf_dir, "documents")
+    return scalar_ops.codec_columns(docs).select(
+        "doc_id", "md5_hex", "sha256_hex", "b64", "hex_prefix"
+    )
+
+
+def q_ip_roundtrip(spark, sf_dir):
+    """P11 IPv4 text<->int conversion round trip."""
+    from ccspark import scalar_ops
+
+    ev = _load(spark, sf_dir, "events").filter("event_id < 1000")
+    ipnum = (F.col("user_id") * 99991 + F.col("event_id")) % F.lit(4294967296)
+    ip = scalar_ops.int_to_ip(ipnum)
+    return ev.select(
+        "event_id",
+        ip.alias("ip"),
+        scalar_ops.ip_to_int(ip).alias("ip_int"),
+    )
+
+
+def q_mime_filter(spark, sf_dir):
+    """P7 MIME classification over a derived content-type column."""
+    from ccspark import scalar_ops
+
+    ev = _load(spark, sf_dir, "events")
+    mime = (
+        F.when(F.col("event_type") == "click", F.lit("text/html; charset=utf-8"))
+        .when(F.col("event_type") == "view", F.lit("application/json"))
+        .when(F.col("event_type") == "signup", F.lit("image/png"))
+        .when(F.col("event_type") == "purchase", F.lit("application/xhtml+xml"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    df = ev.select("event_id", mime.alias("mime"))
+    return df.select(
+        "event_id",
+        "mime",
+        scalar_ops.is_text_type(F.col("mime")).alias("is_text"),
+        scalar_ops.is_html_type(F.col("mime")).alias("is_html"),
+    )
+
+
+def q_escaped_newlines(spark, sf_dir):
+    """S11 escaped-newline value codec round trip."""
+    from ccspark import scalar_ops
+
+    ev = _load(spark, sf_dir, "events").filter("event_id < 500")
+    raw = F.concat(F.col("event_type"), F.lit("\n"), F.col("props"), F.lit("\t!"))
+    esc = scalar_ops.escape_newlines(raw)
+    return ev.select(
+        "event_id",
+        esc.alias("escaped"),
+        (scalar_ops.unescape_newlines(esc) == raw).alias("roundtrip_ok"),
+    )
+
+
+
+def q_ewma(spark, sf_dir):
+    """A7 SmoothedAverage analog: per-user EWMA (alpha=0.3) of event
+    values via applyInPandas (sequential recurrence per group; rows-only
+    check — not expressible in portable ANSI SQL)."""
+    import pandas as pd
+
+    ev = _load(spark, sf_dir, "events")
+
+    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["ewma"] = pdf["value"].ewm(alpha=0.3, adjust=False).mean().round(4)
+        return pdf[["event_id", "user_id", "ewma"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        _ewma, schema="event_id long, user_id long, ewma double"
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_filter": q_scan_filter,
@@ -390,6 +469,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_embed_near_dup": q_embed_near_dup,
         "q_media_features": q_media_features,
+        "q_codecs": q_codecs,
+        "q_ip_roundtrip": q_ip_roundtrip,
+        "q_mime_filter": q_mime_filter,
+        "q_escaped_newlines": q_escaped_newlines,
+        "q_ewma": q_ewma,
     }
 
 
@@ -483,5 +567,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_binary_meta": (
             "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, sha256(text) AS digest FROM documents"
+        ),
+        "q_codecs": (
+            "SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex, "
+            "base64(CAST(text AS BLOB)) AS b64, hex(substring(text, 1, 4)) AS hex_prefix FROM documents"
+        ),
+        "q_ip_roundtrip": (
+            "WITH t AS (SELECT event_id, (user_id * 99991 + event_id) % 4294967296 AS n "
+            "FROM events WHERE event_id < 1000), "
+            "ips AS (SELECT event_id, CAST(floor(n / 16777216) AS BIGINT) || '.' || "
+            "CAST(floor(n / 65536) % 256 AS BIGINT) || '.' || CAST(floor(n / 256) % 256 AS BIGINT) "
+            "|| '.' || CAST(n % 256 AS BIGINT) AS ip FROM t) "
+            "SELECT event_id, ip, "
+            "CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 "
+            "+ CAST(string_split(ip, '.')[3] AS BIGINT) * 256 + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_int "
+            "FROM ips"
+        ),
+        "q_mime_filter": (
+            "WITH m AS (SELECT event_id, CASE event_type WHEN 'click' THEN 'text/html; charset=utf-8' "
+            "WHEN 'view' THEN 'application/json' WHEN 'signup' THEN 'image/png' "
+            "WHEN 'purchase' THEN 'application/xhtml+xml' ELSE 'application/octet-stream' END AS mime FROM events) "
+            "SELECT event_id, mime, "
+            "regexp_matches(lower(trim(mime)), '^text/.*|^application/(xml|json|javascript|x-javascript|xhtml\\+xml|rss\\+xml|atom\\+xml)\\b.*') AS is_text, "
+            "regexp_matches(lower(trim(mime)), '^text/html\\b.*|^application/xhtml\\+xml\\b.*') AS is_html FROM m"
+        ),
+        "q_escaped_newlines": (
+            "WITH t AS (SELECT event_id, event_type || chr(10) || props || chr(9) || '!' AS raw "
+            "FROM events WHERE event_id < 500) "
+            "SELECT event_id, replace(replace(replace(raw, chr(13), ''), "
+            "chr(10), '\\n'), chr(9), '\\t') AS escaped, TRUE AS roundtrip_ok FROM t"
         ),
     }

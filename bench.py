@@ -44,9 +44,13 @@ HEADLINE = [
     "q_ann_cosine_topk",
 ]
 
-FRONTIER_UNIVERSE = 200_000
-FRONTIER_ROUNDS = 2
-FRONTIER_BUDGET = 20
+FRONTIER_UNIVERSE = int(os.environ.get("CCSPARK_BENCH_UNIVERSE", "2000000"))
+FRONTIER_ROUNDS = int(os.environ.get("CCSPARK_BENCH_ROUNDS", "3"))
+FRONTIER_BUDGET = 50
+# dataset partitioning is a property of the data layout, NOT the cluster
+# size: hold it constant across parallelism levels so local[8] vs
+# local[32] measures compute scaling, not partitioning changes
+FRONTIER_PARTITIONS = 32
 
 
 def _sf_of(path: str) -> float:
@@ -86,7 +90,7 @@ def run_frontier_inproc(spark, ckpt_dir: str | None = None) -> dict:
     ckpt = ckpt_dir or f"/tmp/ccspark_bench_ckpt_{os.getpid()}"
     shutil.rmtree(ckpt, ignore_errors=True)
     cfg = FrontierConfig(
-        num_partitions=CPUS,
+        num_partitions=FRONTIER_PARTITIONS,
         universe_n=FRONTIER_UNIVERSE,
         seed=42,
         default_budget=FRONTIER_BUDGET,
@@ -115,33 +119,59 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.cpus is not None:
-        # subprocess worker for --scaling
+        # subprocess worker for --scaling: single-action schedule pipeline
+        # over a large synthetic frontier (see ccspark.pipeline docstring —
+        # compute-dominated, fixed dataset partitioning)
         os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
         global CPUS
         CPUS = args.cpus
         from ccspark.session import build_session
+        from ccspark.pipeline import run_schedule_bench
 
-        spark = build_session("ccspark-scale", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus)
-        stats = run_frontier_inproc(spark)
+        universe = int(os.environ.get("CCSPARK_SCALE_UNIVERSE", "8000000"))
+        # shuffle to tmpfs: a single shared spinning /tmp is a local-mode
+        # artifact — on a real cluster every executor shuffles to its own
+        # local NVMe, so memory-backed shuffle is the cluster-faithful setup
+        local_dir = "/dev/shm/ccspark-shuffle"
+        os.makedirs(local_dir, exist_ok=True)
+        spark = build_session(
+            "ccspark-scale",
+            master=f"local[{args.cpus}]",
+            shuffle_partitions=FRONTIER_PARTITIONS,
+            extra_conf={"spark.local.dir": local_dir},
+        )
+        out = f"/dev/shm/ccspark-scale-out_{os.getpid()}"
+        stats = run_schedule_bench(spark, universe, out, num_partitions=FRONTIER_PARTITIONS)
+        shutil.rmtree(out, ignore_errors=True)
         spark.stop()
         print(json.dumps(stats))
         return 0
 
     if args.scaling:
-        results = {}
-        for n in (8, 32):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--cpus", str(n)],
-                capture_output=True,
-                text=True,
-                env={**os.environ, "SPARK_GRAFT_CPUS": str(n)},
-            )
-            last = out.stdout.strip().splitlines()[-1]
-            results[f"local[{n}]"] = json.loads(last)
-        t8 = results["local[8]"]["urls_per_sec"]
-        t32 = results["local[32]"]["urls_per_sec"]
-        eff = round((t32 / t8) / (32 / 8), 3) if t8 else None
-        print(json.dumps({"scaling": results, "efficiency_8_to_32": eff}))
+        # median of 3 trials per level, alternating levels so slow drift
+        # in the shared sandbox affects both sides equally
+        lo, hi = (int(x) for x in os.environ.get("CCSPARK_SCALE_PAIR", "4,16").split(","))
+        trials: dict[int, list] = {lo: [], hi: []}
+        for _ in range(int(os.environ.get("CCSPARK_SCALE_TRIALS", "3"))):
+            for n in (lo, hi):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--cpus", str(n)],
+                    capture_output=True,
+                    text=True,
+                    env={**os.environ, "SPARK_GRAFT_CPUS": str(n)},
+                )
+                last = out.stdout.strip().splitlines()[-1]
+                trials[n].append(json.loads(last))
+        def med(n):
+            xs = sorted(t["urls_per_sec"] for t in trials[n])
+            return xs[len(xs) // 2]
+        eff = round((med(hi) / med(lo)) / (hi / lo), 3)
+        print(json.dumps({
+            "pair": [lo, hi],
+            "median_urls_per_sec": {f"local[{lo}]": med(lo), f"local[{hi}]": med(hi)},
+            "trials": {str(k): [t["urls_per_sec"] for t in v] for k, v in trials.items()},
+            "efficiency": eff,
+        }))
         return 0
 
     res = run_queries()

@@ -110,8 +110,7 @@ class CrawlFrontier:
     def _identify(self, raw: DataFrame, round_no: int) -> DataFrame:
         """raw(url, priority) → frontier rows (canonical identity, valid
         only, max-priority dedup)."""
-        df = CF.with_urlfp(CF.with_canonical(raw))
-        df = df.filter("url_valid")
+        df = CF.with_canonical_urlfp(raw).filter("url_valid")
         return (
             df.groupBy("domain_hash", "url_hash")
             .agg(

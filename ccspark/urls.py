@@ -501,15 +501,60 @@ def _fast_canonical_mask(urls: pd.Series) -> np.ndarray:
     return mask.to_numpy()
 
 
+# tier-2: structurally simple URLs normalizable with pandas str ops —
+# lowercase scheme/host, trailing-dot strip, default-port strip, www
+# strip (via per-unique-host PSL lookup) — no percent-escapes, spaces,
+# backslashes, userinfo, dot-segments or session markers
+_TIER2_RE = re.compile(
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[A-Za-z0-9.\-_]+?)(?::(?P<port>[0-9]+))?"
+    r"(?P<path>/[!$&'()*+,\-./0-9:=@_~A-Za-z]*)?(?:\?(?P<query>[!$&'()*+,\-./0-9:=@_~A-Za-z]*))?$"
+)
+_TIER2_BAD = re.compile(r"%|\\|\.\.|/\./|#| ")
+
+
+def _canonicalize_tier2(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalization of the tier-2 shape; NaN where the
+    row needs the full per-string path."""
+    ex = urls.str.extract(_TIER2_RE)
+    bad = urls.str.contains(_TIER2_BAD, na=True) | urls.str.contains(SESSION_MARKERS_RE, na=True)
+    scheme = ex["scheme"].str.lower()
+    ok = ~bad & scheme.isin(["http", "https", "ftp"]) & ex["host"].notna()
+    host = ex["host"].str.lower().str.rstrip(".")
+    ok &= host.str.match(r"^[a-z0-9.\-_]+$", na=False)
+    # strip default port
+    defaults = scheme.map({"http": "80", "https": "443", "ftp": "21"})
+    port = ex["port"].str.lstrip("0")
+    port = port.where(port.ne("") & port.ne(defaults) & port.notna(), None)
+    # www strip via PSL over the *unique* hosts only
+    www = host.str.startswith("www.", na=False) & ok
+    if www.any():
+        uniq = host[www].unique()
+        strip_map = {}
+        for h in uniq:
+            root = extract_root_domain_name(h)
+            strip_map[h] = h[4:] if (root is None or root != h) else h
+        host = host.where(~www, host.map(strip_map))
+    path = ex["path"].fillna("/")
+    out = scheme + "://" + host + np.where(port.notna(), ":" + port.fillna(""), "")
+    out = out + path + np.where(ex["query"].notna(), "?" + ex["query"].fillna(""), "")
+    return pd.Series(np.where(ok, out, None), index=urls.index, dtype="object")
+
+
 def canonicalize_batch(urls: pd.Series, strip_www: bool = True) -> pd.Series:
-    """Vectorized canonicalization: regex fast path + per-string residue."""
+    """Vectorized canonicalization: already-canonical fast path, tier-2
+    pandas-vectorized normalization, per-string residue."""
     urls = urls.astype("object")
     out = pd.Series(index=urls.index, dtype="object")
     mask = _fast_canonical_mask(urls) if strip_www else np.zeros(len(urls), dtype=bool)
     out[mask] = urls[mask]
-    slow_idx = urls.index[~mask]
-    if len(slow_idx):
-        out[slow_idx] = [canonicalize_url(u, strip_www) for u in urls[slow_idx]]
+    rest_idx = urls.index[~mask]
+    if len(rest_idx) and strip_www:
+        tier2 = _canonicalize_tier2(urls[rest_idx])
+        done = tier2.notna()
+        out[rest_idx[done]] = tier2[done]
+        rest_idx = rest_idx[~done]
+    if len(rest_idx):
+        out[rest_idx] = [canonicalize_url(u, strip_www) for u in urls[rest_idx]]
     return out
 
 
