@@ -95,19 +95,23 @@ def fp64_utf16(strings) -> np.ndarray:
     """Rabin FP64 of each string (over UTF-16 code units), as int64.
 
     Matches FPGenerator.std64.fp(CharSequence) exactly (null → fp of "").
-    """
+    Rows are processed in descending-length order so each column step
+    touches only the still-active prefix (no full-width masking)."""
     mat, lens = _utf16_matrix(strings)
     n, maxlen = mat.shape
+    order = np.argsort(-lens, kind="stable")
+    mat = mat[order]
+    sorted_lens = lens[order]
     f = np.full(n, _FP_EMPTY, dtype=np.uint64)
-    # column-at-a-time fold; rows shorter than the column keep their value
+    # active rows at column j form a prefix of the sorted order
     for j in range(maxlen):
-        active = lens > j
-        if not active.any():
+        k = int(np.searchsorted(-sorted_lens, -(j + 1), side="right"))
+        if k == 0:
             break
-        col = mat[:, j].astype(np.uint64)
-        nf = _extend_char(f, col)
-        f = np.where(active, nf, f)
-    return f.view(np.int64)
+        f[:k] = _extend_char(f[:k], mat[:k, j].astype(np.uint64))
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = f
+    return out.view(np.int64)
 
 
 def fp64_bytes_matrix(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:

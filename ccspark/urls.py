@@ -507,16 +507,19 @@ def _fast_canonical_mask(urls: pd.Series) -> np.ndarray:
 # backslashes, userinfo, dot-segments or session markers
 _TIER2_RE = re.compile(
     r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[A-Za-z0-9.\-_]+?)(?::(?P<port>[0-9]+))?"
-    r"(?P<path>/[!$&'()*+,\-./0-9:=@_~A-Za-z]*)?(?:\?(?P<query>[!$&'()*+,\-./0-9:=@_~A-Za-z]*))?$"
+    r"(?P<path>/[!$&'()*+,\-./0-9:;=@_~A-Za-z]*)?(?:\?(?P<query>[!$&'()*+,\-./0-9:;=@_~A-Za-z]*))?$"
 )
 _TIER2_BAD = re.compile(r"%|\\|\.\.|/\./|#| ")
 
 
 def _canonicalize_tier2(urls: pd.Series) -> pd.Series:
-    """Vectorized canonicalization of the tier-2 shape; NaN where the
-    row needs the full per-string path."""
+    """Vectorized canonicalization of the tier-2 shape (including
+    session-id variants — path ';' truncation and the session
+    normalizer run after structural normalization, exactly as
+    URLUtils.canonicalizeURL does); NaN where the row needs the full
+    per-string path."""
     ex = urls.str.extract(_TIER2_RE)
-    bad = urls.str.contains(_TIER2_BAD, na=True) | urls.str.contains(SESSION_MARKERS_RE, na=True)
+    bad = urls.str.contains(_TIER2_BAD, na=True)
     scheme = ex["scheme"].str.lower()
     ok = ~bad & scheme.isin(["http", "https", "ftp"]) & ex["host"].notna()
     host = ex["host"].str.lower().str.rstrip(".")
@@ -534,10 +537,16 @@ def _canonicalize_tier2(urls: pd.Series) -> pd.Series:
             root = extract_root_domain_name(h)
             strip_map[h] = h[4:] if (root is None or root != h) else h
         host = host.where(~www, host.map(strip_map))
-    path = ex["path"].fillna("/")
+    # path truncates at the first ';' (URLUtils.canonicalizeURL:415-422)
+    path = ex["path"].fillna("/").str.split(";", n=1).str[0]
     out = scheme + "://" + host + np.where(port.notna(), ":" + port.fillna(""), "")
     out = out + path + np.where(ex["query"].notna(), "?" + ex["query"].fillna(""), "")
-    return pd.Series(np.where(ok, out, None), index=urls.index, dtype="object")
+    result = pd.Series(np.where(ok, out, None), index=urls.index, dtype="object")
+    # phase 2: session-id normalization, only where a marker survives
+    sess = result.str.contains(SESSION_MARKERS_RE, na=False)
+    if sess.any():
+        result[sess] = result[sess].map(session_id_normalize)
+    return result
 
 
 def canonicalize_batch(urls: pd.Series, strip_www: bool = True) -> pd.Series:
@@ -585,16 +594,29 @@ def _host_root_cached(host: str) -> tuple[str | None, str | None]:
 
 def urlfp_batch(canonical: pd.Series) -> pd.DataFrame:
     """URLFPV2 for canonical URLs → DataFrame(domain_hash, url_hash,
-    root_domain_hash), nullable Int64 (null where fp is undefined)."""
+    root_domain_hash), nullable Int64 (null where fp is undefined).
+
+    Host-level work (root-domain resolution + host fingerprints) runs
+    once per *unique* host — under a zipfian crawl distribution that is
+    a small fraction of the rows."""
     vals = canonical.tolist()
     url_hash = hashing.fp64_utf16(vals)
     hosts = canonical.str.extract(_FAST_HOST_RE, expand=False)
-    pairs = [_host_root_cached(h) if isinstance(h, str) and h else (None, None) for h in hosts]
-    dom = [p[0] for p in pairs]
-    roots = [p[1] for p in pairs]
-    ok = np.array([d is not None for d in dom])
-    domain_hash = hashing.fp64_utf16(["" if d is None else d for d in dom])
-    root_hash = hashing.fp64_utf16(["" if r is None else r for r in roots])
+    uniq = pd.unique(hosts.dropna())
+    host_info: dict[str, tuple[int, int, bool]] = {}
+    if len(uniq):
+        pairs = [_host_root_cached(h) for h in uniq]
+        doms = [p[0] or "" for p in pairs]
+        roots = [p[1] or "" for p in pairs]
+        dom_fp = hashing.fp64_utf16(doms)
+        root_fp = hashing.fp64_utf16(roots)
+        for h, p, df_, rf_ in zip(uniq, pairs, dom_fp, root_fp):
+            host_info[h] = (int(df_), int(rf_), p[0] is not None)
+    zero = (0, 0, False)
+    info = [host_info.get(h, zero) if isinstance(h, str) else zero for h in hosts]
+    domain_hash = np.fromiter((i[0] for i in info), dtype=np.int64, count=len(info))
+    root_hash = np.fromiter((i[1] for i in info), dtype=np.int64, count=len(info))
+    ok = np.fromiter((i[2] for i in info), dtype=bool, count=len(info))
     valid_url = np.array([isinstance(v, str) for v in vals])
     ok &= valid_url
     return pd.DataFrame(
