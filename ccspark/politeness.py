@@ -22,12 +22,90 @@ into the batch plan:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_BUDGET = 10
 DEFAULT_ROUND_MS = 60_000
 PATH_RE = r"^[a-z]+://[^/]+(/.*)?$"
+
+
+def parse_robots_txt(text: str | None, agent: str = "*") -> tuple[list[str], int | None]:
+    """Minimal robots.txt parser → (disallow_prefixes, crawl_delay_ms).
+
+    Honors the most-specific matching user-agent group (exact agent
+    name beats ``*``), Disallow path prefixes (empty Disallow = allow
+    all), and Crawl-delay seconds.  Feeds the per-host rules table."""
+    if not text:
+        return [], None
+    groups: dict[str, tuple[list[str], float | None]] = {}
+    current: list[str] = []
+    collecting = False
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            ua = value.lower()
+            if not collecting:
+                current = []
+            current.append(ua)
+            collecting = True
+            for u in current:
+                groups.setdefault(u, ([], None))
+        elif key in ("disallow", "crawl-delay"):
+            collecting = False
+            for u in current:
+                dis, delay = groups.get(u, ([], None))
+                if key == "disallow":
+                    if value:
+                        dis = dis + [value]
+                else:
+                    try:
+                        delay = float(value)
+                    except ValueError:
+                        pass
+                groups[u] = (dis, delay)
+    pick = groups.get(agent.lower()) or groups.get("*")
+    if pick is None:
+        return [], None
+    dis, delay = pick
+    return dis, int(delay * 1000) if delay is not None else None
+
+
+def robots_table_from_fetches(df: DataFrame, host_col: str = "host", body_col: str = "robots_txt", agent: str = "*") -> DataFrame:
+    """(host, robots_txt) rows → the politeness rules table shape."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("disallow_prefixes", ArrayType(StringType())),
+            StructField("crawl_delay_ms", LongType()),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _parse(bodies: pd.Series) -> pd.DataFrame:
+        rows = [parse_robots_txt(b, agent) for b in bodies]
+        return pd.DataFrame(
+            {
+                "disallow_prefixes": [r[0] for r in rows],
+                "crawl_delay_ms": pd.array([r[1] for r in rows], dtype="Int64"),
+            }
+        )
+
+    parsed = df.withColumn("_r", _parse(F.col(body_col)))
+    return parsed.select(
+        F.col(host_col).alias("host"),
+        F.col("_r.disallow_prefixes").alias("disallow_prefixes"),
+        F.col("_r.crawl_delay_ms").alias("crawl_delay_ms"),
+        F.lit(None).cast("int").alias("max_fetches_per_round"),
+    )
 
 
 def with_host_and_path(df: DataFrame, canonical_col: str = "canonical_url") -> DataFrame:
