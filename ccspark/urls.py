@@ -365,6 +365,77 @@ def _remove_dot_segments(path: str) -> str:
     return res
 
 
+# ---------------------------------------------------------------------------
+# IPv4-literal host canonicalization — reference
+# src/native/src/libGoogleURL/googleurl/src/url_canon_ip.cc:71-241.
+# This googleurl vintage has NO "broken" state: any parse failure means
+# "not an IP, treat as hostname", and values TRUNCATE (non-last components
+# to 1 byte via uchar cast, last to 32 bits via uint32 cast) rather than
+# erroring.  Candidacy requires every char in [0-9a-fA-FxX.].
+# ---------------------------------------------------------------------------
+
+_IPV4_CHARS_RE = re.compile(r"^[0-9a-fA-FxX.]+$")
+_HEX_BODY_RE = re.compile(r"^[0-9a-fA-F]*$")
+_OCT_BODY_RE = re.compile(r"^[0-7]+$")
+
+
+def canonicalize_ipv4_host(host: str) -> str | None:
+    """Return the canonical dotted-quad if ``host`` parses as an IPv4
+    literal under url_canon_ip.cc semantics, else None (regular host)."""
+    if not host or not _IPV4_CHARS_RE.match(host):
+        return None
+    # FindIPv4Components (:72-117): split on '.', one trailing empty
+    # component allowed; empty components elsewhere → not an IP; >4
+    # components → not an IP (a 5th lone trailing dot is allowed).
+    parts = host.split(".")
+    if len(parts) > 1 and parts[-1] == "":
+        parts = parts[:-1]
+    if not parts or len(parts) > 4 or any(p == "" for p in parts):
+        return None
+    vals = []
+    for comp in parts:
+        # IPv4ComponentToNumber (:126-176)
+        if comp[0] == "0":
+            if len(comp) == 1:
+                base, body = 10, comp
+            elif comp[1] in "xX":
+                base, body = 16, comp[2:]
+            else:
+                base, body = 8, comp[1:]
+        else:
+            base, body = 10, comp
+        if len(body) > 16:  # kMaxComponentLen
+            return None
+        if base == 16:
+            if not _HEX_BODY_RE.match(body):
+                return None
+            vals.append(int(body, 16) if body else 0)
+        elif base == 8:
+            if not _OCT_BODY_RE.match(body):
+                return None
+            vals.append(int(body, 8))
+        else:
+            if not body.isdigit():
+                return None
+            vals.append(int(body))
+    # DoCanonicalizeIPv4Address (:198-241): truncate, never fail.
+    addr = [(v & 0xFF) for v in vals[:-1]]
+    last = vals[-1] & 0xFFFFFFFF
+    remaining = 4 - len(addr)
+    for shift in range(remaining - 1, -1, -1):
+        addr.append((last >> (8 * shift)) & 0xFF)
+    return ".".join(str(b) for b in addr)
+
+
+# vectorized guard: hosts whose last dotted label is numeric (dec/hex) are
+# IPv4-literal candidates and must take the scalar path — EXCEPT hosts that
+# are already a canonical dotted-quad (each octet 0-255, decimal, no
+# leading zeros), which canonicalize to themselves.
+_IP_LAST_LABEL_RE = re.compile(r"(?:^|\.)(?:[0-9]+|0[xX][0-9a-fA-F]*)\.?$")
+_OCTET_SRC = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+_CANON_QUAD_RE = re.compile(r"^%s(?:\.%s){3}$" % (_OCTET_SRC, _OCTET_SRC))
+
+
 def parse_url(raw: str | None) -> ParsedURL:
     p = ParsedURL()
     if raw is None:
@@ -420,7 +491,13 @@ def parse_url(raw: str | None) -> ParsedURL:
             host = host.encode("idna").decode("ascii")
     except Exception:
         return p
-    if not re.match(r"^[a-z0-9\-._]+$", host):
+    # IPv4-literal interpretation (url_canon_host.cc DoSimpleHost:207 /
+    # InterpretIPAddress:130 — runs on the canonicalized host bytes)
+    ip = canonicalize_ipv4_host(host)
+    if ip is not None:
+        host = ip
+    # kHostCharLookup (url_canon_host.cc:74-90): a-z 0-9 + - . _ [ ]
+    elif not re.match(r"^[a-z0-9+\-._\[\]]+$", host):
         return p
     if port and port in (_DEFAULT_PORTS.get(scheme) or ""):
         port = ""
@@ -490,6 +567,9 @@ _FAST_RE = re.compile(
 )
 
 
+_FAST_HOST_EX_RE = re.compile(r"^https?://([^/:?#]+)")
+
+
 def _fast_canonical_mask(urls: pd.Series) -> np.ndarray:
     mask = urls.str.match(_FAST_RE, na=False)
     # exclude default ports, dot segments and session-id markers
@@ -498,6 +578,12 @@ def _fast_canonical_mask(urls: pd.Series) -> np.ndarray:
     mask &= ~urls.str.contains("/./", regex=False, na=False)
     mask &= ~urls.str.contains("/../", regex=False, na=False)
     mask &= ~urls.str.contains(SESSION_MARKERS_RE, na=False)
+    # IPv4-literal candidates (numeric last label) take the scalar path
+    # unless already a canonical dotted-quad (self-canonicalizing)
+    if mask.any():
+        host = urls.str.extract(_FAST_HOST_EX_RE, expand=False)
+        ip_cand = host.str.contains(_IP_LAST_LABEL_RE, na=False)
+        mask &= ~ip_cand | host.str.fullmatch(_CANON_QUAD_RE, na=False)
     return mask.to_numpy()
 
 
@@ -524,10 +610,17 @@ def _canonicalize_tier2(urls: pd.Series) -> pd.Series:
     ok = ~bad & scheme.isin(["http", "https", "ftp"]) & ex["host"].notna()
     host = ex["host"].str.lower().str.rstrip(".")
     ok &= host.str.match(r"^[a-z0-9.\-_]+$", na=False)
-    # strip default port
+    # IPv4-literal candidates → scalar path (googleurl truncating canon)
+    ip_cand = host.str.contains(_IP_LAST_LABEL_RE, na=False)
+    ok &= ~ip_cand | host.str.fullmatch(_CANON_QUAD_RE, na=False)
+    # strip default port; also a literal '80' on ANY scheme, matching the
+    # scalar path (canonicalize_url skips port=="80" unconditionally, per
+    # URLUtils.canonicalizeURL:404-410 which only appends port != "80")
     defaults = scheme.map({"http": "80", "https": "443", "ftp": "21"})
     port = ex["port"].str.lstrip("0")
-    port = port.where(port.ne("") & port.ne(defaults) & port.notna(), None)
+    port = port.where(
+        port.ne("") & port.ne(defaults) & port.ne("80") & port.notna(), None
+    )
     # www strip via PSL over the *unique* hosts only
     www = host.str.startswith("www.", na=False) & ok
     if www.any():

@@ -160,6 +160,81 @@ def test_canonicalize_batch_fast_path_matches_slow_path():
     assert urls._fast_canonical_mask(s)[1]
 
 
+IPV4_CASES = [
+    # url_canon_ip.cc semantics: hex/octal/short forms, truncation, no
+    # "broken" state (parse failure → regular hostname)
+    ("0x7f.0.0.1", "127.0.0.1"),
+    ("0177.0.0.1", "127.0.0.1"),
+    ("2130706433", "127.0.0.1"),
+    ("127.1", "127.0.0.1"),
+    ("192.168.257", "192.168.1.1"),        # last fills 2 bytes
+    ("300.1.2.3", "44.1.2.3"),             # uchar truncation of non-last
+    ("0x7F.0x00.0x00.0x01", "127.0.0.1"),
+    ("4294967296", "0.0.0.0"),             # uint32 truncation
+    ("0x", "0.0.0.0"),                     # empty hex body == 0
+    ("192.168.1.1.", "192.168.1.1"),       # single trailing dot ok
+    ("08.1.2.3", None),                    # bad octal digit → hostname
+    ("1.2.3.4.5", None),                   # >4 components → hostname
+    ("1..2.3", None),                      # empty component → hostname
+    ("foo.09", None),                      # non-IPv4 char → hostname
+    ("12ab.1", None),                      # hex letters without 0x → hostname
+    ("192.168.1.1", "192.168.1.1"),
+]
+
+
+@pytest.mark.parametrize("host,expected", IPV4_CASES)
+def test_ipv4_host_canon(host, expected):
+    assert urls.canonicalize_ipv4_host(host) == expected
+
+
+def test_canonicalize_url_ipv4_literals():
+    assert urls.canonicalize_url("http://0x7f.0.0.1/x") == "http://127.0.0.1/x"
+    assert urls.canonicalize_url("http://127.1/x") == "http://127.0.0.1/x"
+    assert urls.canonicalize_url("http://2130706433/") == "http://127.0.0.1/"
+    # parse failures stay hostnames, not errors
+    assert urls.canonicalize_url("http://08.1.2.3/x") == "http://08.1.2.3/x"
+    assert urls.canonicalize_url("http://1.2.3.4.5/x") == "http://1.2.3.4.5/x"
+
+
+def test_canonicalize_batch_ipv4_parity():
+    raw = [
+        "http://0x7f.0.0.1/x",
+        "http://0177.0.0.1/x",
+        "http://127.1/x",
+        "http://192.168.1.1/x",       # canonical quad may stay fast-path
+        "http://300.1.2.3/x",
+        "http://08.1.2.3/x",
+        "http://example.com.09/x",    # numeric last label, not an IP
+        "http://2130706433/",
+    ]
+    s = pd.Series(raw)
+    batch = urls.canonicalize_batch(s)
+    scalar = pd.Series([urls.canonicalize_url(u) for u in raw])
+    assert batch.fillna("<null>").tolist() == scalar.fillna("<null>").tolist()
+
+
+def test_canonicalize_batch_port80_parity_all_schemes():
+    """ADVICE r1: tier-2 batch must drop a literal ':80' on https/ftp too,
+    matching the scalar path (URLUtils.canonicalizeURL appends only
+    port != "80")."""
+    raw = [
+        "https://example.com:80/path",
+        "ftp://example.com:80/file",
+        "http://example.com:80/x",
+        "https://example.com:443/x",
+        "ftp://example.com:21/x",
+        "https://example.com:8080/x",   # non-default survives
+        "https://example.com:080/x",    # leading zero
+    ]
+    s = pd.Series(raw)
+    batch = urls.canonicalize_batch(s)
+    scalar = pd.Series([urls.canonicalize_url(u) for u in raw])
+    assert batch.tolist() == scalar.tolist()
+    assert batch[0] == "https://example.com/path"
+    assert batch[1] == "ftp://example.com/file"
+    assert batch[5] == "https://example.com:8080/x"
+
+
 def test_urlfp_batch():
     canon = pd.Series([
         "http://example.com/",      # fp64 golden: 5428837642025511573
