@@ -73,9 +73,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_scan_filter(spark, sf_dir):
-    """S-family: parquet scan with pushed filter + pruned projection."""
+    """S-family: parquet scan with pushed filter + pruned projection.
+    (Predicate chosen to be non-vacuous at every sf: shipdates in the
+    driver testdata start 1995-01-02.)"""
     li = _load(spark, sf_dir, "lineitem")
-    return li.filter((F.col("l_quantity") < 5) & (F.col("l_shipdate") < "1994-01-01")).select(
+    return li.filter((F.col("l_quantity") < 5) & (F.col("l_shipdate") < "1996-01-01")).select(
         "l_orderkey", "l_partkey", "l_quantity"
     )
 
@@ -165,11 +167,12 @@ def q_distinct(spark, sf_dir):
 
 
 def q_set_ops(spark, sf_dir):
-    """A9: set difference (frontier-delta shape)."""
+    """A9: set difference (frontier-delta shape).  Non-vacuous at every
+    sf: users with a mid-value error event but no high-value one."""
     ev = _load(spark, sf_dir, "events")
-    signup = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
-    error = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
-    return signup.subtract(error)
+    mid = ev.filter((F.col("event_type") == "error") & (F.col("value") > 100)).select("user_id").distinct()
+    high = ev.filter((F.col("event_type") == "error") & (F.col("value") > 300)).select("user_id").distinct()
+    return mid.subtract(high)
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -300,12 +303,30 @@ def q_langid(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (rows-only check)."""
+    """MinHash+LSH near-dup detection, oracle-checkable: exact duplicates
+    are planted (doc_id+10000 copies of doc_id<50), whose 64/64 identical
+    signatures guarantee banded-join recall and est_jaccard == 1.0; the
+    oracle is the planted identical-text pair set."""
     from ccspark import dedup
 
-    docs = _load(spark, sf_dir, "documents").filter("doc_id < 500")
-    return dedup.minhash_candidates(docs, "doc_id", "text", n_hashes=64, bands=16).filter(
-        F.col("est_jaccard") >= 0.5
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 500").select("doc_id", "text")
+    planted = docs.filter("doc_id < 50").select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    u = docs.unionByName(planted)
+    cands = dedup.minhash_candidates(u, "doc_id", "text", n_hashes=64, bands=16).filter(
+        F.col("est_jaccard") >= 0.999
+    )
+    # exact-verify stage (the standard LSH -> verify dedup pipeline):
+    # distinct texts can share every 5-shingle (word soup from a small
+    # vocabulary), so signature equality alone over-reports
+    ha = u.select(F.col("doc_id").alias("id_a"), F.md5("text").alias("md5_a"))
+    hb = u.select(F.col("doc_id").alias("id_b"), F.md5("text").alias("md5_b"))
+    return (
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
+        .filter(F.col("md5_a") == F.col("md5_b"))
+        .select("id_a", "id_b", "est_jaccard")
     )
 
 
@@ -342,11 +363,20 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_embed_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH + exact verify,
+    oracle-checkable: exact copies are planted (vec_id+100000 for
+    vec_id<50) whose identical hyperplane signatures guarantee candidate
+    recall and cosine == 1.0; random 64-dim cross pairs stay far below
+    the 0.99 threshold, so the result is exactly the planted pair set."""
     from ccspark import dedup
 
-    emb = _load(spark, sf_dir, "embeddings").filter("vec_id < 1000")
-    return dedup.embedding_near_dups(emb, "vec_id", "embedding", dim=64, threshold=0.9)
+    emb = _load(spark, sf_dir, "embeddings").filter("vec_id < 1000").select("vec_id", "embedding")
+    planted = emb.filter("vec_id < 50").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return dedup.embedding_near_dups(
+        emb.unionByName(planted), "vec_id", "embedding", dim=64, threshold=0.99
+    )
 
 
 def q_media_features(spark, sf_dir):
@@ -422,6 +452,49 @@ def q_escaped_newlines(spark, sf_dir):
 
 
 
+_CHARSET_BY_MOD = ["utf-8", "windows-1252", "iso-8859-1"]
+_SALT_BY_MOD = ["こんにちは ☃", "café—naïve", "café ñ"]
+
+
+def q_charset_decode(spark, sf_dir):
+    """P8 end-to-end: synthesize meta-tagged pages in three charsets from
+    the documents table, run the full decode pipeline (meta sniff → full
+    aliasTable → Java-parity decode → markup strip), and emit an md5 of
+    the recovered text.  The oracle recomputes the expected round-tripped
+    string directly in SQL — a true byte-exactness gate for the charset
+    stack on non-ASCII payloads."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ccspark import text as cctext
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 300").select("doc_id", "text")
+
+    def _roundtrip_fn(doc_id, text):
+        payloads = []
+        for did, txt in zip(doc_id, text):
+            mod = int(did) % 3
+            cs = _CHARSET_BY_MOD[mod]
+            body = (
+                f'<html><head><meta http-equiv="Content-Type" '
+                f'content="text/html; charset={cs}"><title>d{int(did)}</title>'
+                f"</head><body><p>{txt} {_SALT_BY_MOD[mod]}</p></body></html>"
+            )
+            payloads.append(body.encode(cctext.alias_charset(cs)))
+        return cctext.extract_text_batch(pd.Series(payloads, index=doc_id.index))
+
+    _roundtrip = pandas_udf(_roundtrip_fn, "string")
+
+    charset = F.element_at(
+        F.array(*[F.lit(c) for c in _CHARSET_BY_MOD]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        charset.alias("charset"),
+        F.md5(F.encode(_roundtrip(F.col("doc_id"), F.col("text")), "UTF-8")).alias("text_md5"),
+    )
+
+
 def q_ewma(spark, sf_dir):
     """A7 SmoothedAverage analog: per-user EWMA (alpha=0.3) of event
     values via applyInPandas (sequential recurrence per group; rows-only
@@ -432,7 +505,21 @@ def q_ewma(spark, sf_dir):
 
     def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        pdf["ewma"] = pdf["value"].ewm(alpha=0.3, adjust=False).mean().round(4)
+        vals = pdf["value"].to_numpy(dtype="float64")
+        out = vals.copy()
+        s = 0.0
+        for i, x in enumerate(vals):
+            # explicit s = 0.3*x + 0.7*s recurrence: bit-identical to the
+            # recursive-CTE oracle (pandas .ewm divides by (0.3+0.7) which
+            # is 1-ulp off 1.0 and drifts from the plain recurrence)
+            s = x if i == 0 else 0.3 * x + 0.7 * s
+            out[i] = s
+        import numpy as np
+
+        # floor(x*1e4 + 0.5)/1e4: identical on both engines given the
+        # bit-identical recurrence (ROUND tie behavior differs: Python
+        # half-even vs DuckDB half-away)
+        pdf["ewma"] = np.floor(out * 10000.0 + 0.5) / 10000.0
         return pdf[["event_id", "user_id", "ewma"]]
 
     return ev.groupBy("user_id").applyInPandas(
@@ -473,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ip_roundtrip": q_ip_roundtrip,
         "q_mime_filter": q_mime_filter,
         "q_escaped_newlines": q_escaped_newlines,
+        "q_charset_decode": q_charset_decode,
         "q_ewma": q_ewma,
     }
 
@@ -481,7 +569,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_scan_filter": (
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem "
-            "WHERE l_quantity < 5 AND l_shipdate < TIMESTAMP '1994-01-01'"
+            "WHERE l_quantity < 5 AND l_shipdate < TIMESTAMP '1996-01-01'"
         ),
         "q_agg_pricing": (
             "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
@@ -520,8 +608,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
         ),
         "q_set_ops": (
-            "SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' "
-            "EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'"
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 100 "
+            "EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 300"
         ),
         "q_dedup_exact": (
             "SELECT MD5(text) AS text_md5, COUNT(*) AS cnt, MIN(doc_id) AS keeper_doc_id "
@@ -596,5 +684,64 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE event_id < 500) "
             "SELECT event_id, replace(replace(replace(raw, chr(13), ''), "
             "chr(10), '\\n'), chr(9), '\\t') AS escaped, TRUE AS roundtrip_ok FROM t"
+        ),
+        "q_minhash_lsh": (
+            "SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS est_jaccard "
+            "FROM documents WHERE doc_id < 50"
+        ),
+        "q_embed_near_dup": (
+            "SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine "
+            "FROM embeddings WHERE vec_id < 50"
+        ),
+        "q_charset_decode": (
+            "SELECT doc_id, ['utf-8', 'windows-1252', 'iso-8859-1'][CAST(doc_id % 3 AS INT) + 1] AS charset, "
+            "md5(trim(regexp_replace('d' || CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || "
+            "['こんにちは ☃', 'café—naïve', 'café ñ'][CAST(doc_id % 3 AS INT) + 1], '\\s+', ' ', 'g'))) AS text_md5 "
+            "FROM documents WHERE doc_id < 300"
+        ),
+        "q_ewma": (
+            "WITH RECURSIVE e AS (SELECT user_id, event_id, value, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
+            "r AS (SELECT user_id, event_id, rn, CAST(value AS DOUBLE) AS ewma FROM e WHERE rn = 1 "
+            "UNION ALL SELECT e.user_id, e.event_id, e.rn, 0.3 * e.value + 0.7 * r.ewma "
+            "FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1) "
+            "SELECT event_id, user_id, FLOOR(ewma * 10000 + 0.5) / 10000 AS ewma FROM r"
+        ),
+        "q_langid": (
+            "WITH t AS (SELECT lower(coalesce(text, '')) AS s FROM documents), "
+            "sc AS (SELECT s, "
+            "(length(s)-length(replace(s,' der ','')))//5 + (length(s)-length(replace(s,' die ','')))//5 "
+            "+ (length(s)-length(replace(s,' und ','')))//5 + (length(s)-length(replace(s,' über ','')))//6 "
+            "+ (length(s)-length(replace(s,'ß',''))) + (length(s)-length(replace(s,'ä',''))) "
+            "+ (length(s)-length(replace(s,'ö',''))) + (length(s)-length(replace(s,'ü',''))) AS de, "
+            "(length(s)-length(replace(s,' el ','')))//4 + (length(s)-length(replace(s,' la ','')))//4 "
+            "+ (length(s)-length(replace(s,' los ','')))//5 + (length(s)-length(replace(s,' según ','')))//7 "
+            "+ (length(s)-length(replace(s,' mientras ','')))//10 + (length(s)-length(replace(s,'ñ',''))) "
+            "+ (length(s)-length(replace(s,'á',''))) + (length(s)-length(replace(s,'í',''))) AS es, "
+            "(length(s)-length(replace(s,' le ','')))//4 + (length(s)-length(replace(s,' la ','')))//4 "
+            "+ (length(s)-length(replace(s,' les ','')))//5 + (length(s)-length(replace(s,' selon ','')))//7 "
+            "+ (length(s)-length(replace(s,' côté ','')))//6 + (length(s)-length(replace(s,'ç',''))) "
+            "+ (length(s)-length(replace(s,'è',''))) + (length(s)-length(replace(s,'é',''))) AS fr FROM t) "
+            "SELECT detected, COUNT(*) AS cnt FROM (SELECT CASE "
+            "WHEN regexp_matches(s, '[一-鿿]') THEN 'zh' "
+            "WHEN greatest(de, es, fr) > 0 THEN (CASE WHEN de >= es AND de >= fr THEN 'de' "
+            "WHEN es >= fr THEN 'es' ELSE 'fr' END) ELSE 'en' END AS detected FROM sc) "
+            "GROUP BY detected"
+        ),
+        "q_doc_fingerprint": (
+            "WITH d AS (SELECT doc_id, coalesce(text, '') AS s FROM documents WHERE doc_id < 500), "
+            "h AS (SELECT doc_id, CASE WHEN length(s) >= 8 THEN "
+            "[(((((((((((((ascii(s[i])::HUGEINT * 1099511628211 + ascii(s[i+1])) % 18446744073709551616) "
+            "* 1099511628211 + ascii(s[i+2])) % 18446744073709551616) "
+            "* 1099511628211 + ascii(s[i+3])) % 18446744073709551616) "
+            "* 1099511628211 + ascii(s[i+4])) % 18446744073709551616) "
+            "* 1099511628211 + ascii(s[i+5])) % 18446744073709551616) "
+            "* 1099511628211 + ascii(s[i+6])) % 18446744073709551616) "
+            "* 1099511628211 + ascii(s[i+7])) % 18446744073709551616 "
+            "for i in generate_series(1, length(s) - 7)] ELSE CAST([] AS HUGEINT[]) END AS hs FROM d), "
+            "m AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS HUGEINT[]) "
+            "WHEN len(hs) <= 16 THEN [list_min(hs)] "
+            "ELSE [list_min(hs[i:i+15]) for i in generate_series(1, len(hs) - 15)] END AS ms FROM h) "
+            "SELECT doc_id, len(list_distinct(ms)) AS n_fingerprints FROM m"
         ),
     }

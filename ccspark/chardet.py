@@ -1,0 +1,430 @@
+"""Faithful port of the reference's charset detection stack.
+
+Ports, exactly:
+
+* ``nsVerifier.getNextState`` packed-nibble state machines
+  (reference org/mozilla/intl/chardet/nsVerifier.java:73-88) over the
+  bit-exact tables in ``ccspark.data.chardet_tables`` (mechanically
+  extracted from the bundled Mozilla chardet sources).
+* ``nsPSMDetector`` HandleData / Sample / DataEnd with the ALL verifier
+  set (nsPSMDetector.java:205-320, 333-407) including the EUC sampler
+  (nsEUCSampler.java) and the GB18030 two-survivor rule.
+* ``CharsetUtils.detectCharacterEncoding`` (CharsetUtils.java:190-226)
+  INCLUDING its quirk: the return value of ``detector.DoIt`` (which is
+  ``mDone``) is assigned to ``isAscii``, so any detection that completes
+  *during* streaming returns "ASCII"; only DataEnd-stage detections
+  (GB18030-pair rule, sampler last chance) surface real charset names,
+  and otherwise the first surviving verifier's name (or the literal
+  string "nomatch") is returned.  Golden vectors in
+  tests/test_chardet.py were produced by compiling the reference's own
+  jchardet + the verbatim detectCharacterEncoding logic
+  (.scratch/jchardet/GoldenCharset.java) and running it over legacy
+  encoded fixture pages — the Python port must match them exactly.
+* ``CharsetUtils.aliasCharset`` over the full 707-entry aliasTable
+  (CharsetUtils.java:410-941, extracted to
+  ``ccspark.data.charset_aliases``).
+
+Java canonical charset names are then mapped to Python codecs for the
+decode stage; the handful of Java-only charsets (x-IBM964 / EUC-TW,
+ISO-2022-CN) that CPython lacks are documented divergences that decode
+to None (matching the reference's behavior when Charset.decode throws).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .data.charset_aliases import ALIAS_TABLE
+from .data.chardet_tables import STATISTICS, VERIFIERS
+
+_E_START, _E_ERROR, _E_ITSME = 0, 1, 2
+
+# statistics slot per ALL-set verifier index (nsPSMDetector.java:225-241)
+_STATS_BY_INDEX = {
+    2: "EUCJPStatistics",
+    4: "EUCKRStatistics",
+    6: "Big5Statistics",
+    7: "EUCTWStatistics",
+    8: "GB2312Statistics",
+}
+
+
+def _unpack_nibbles(words: list[int], count: int) -> list[int]:
+    """nsVerifier.getNextState nibble addressing: value i lives in
+    words[i >> 3] at bit offset (i & 7) * 4."""
+    return [(words[i >> 3] >> ((i & 7) << 2)) & 0xF for i in range(count)]
+
+
+class _Verifier:
+    __slots__ = ("charset", "is_ucs2", "byte_class", "next_state", "n_state")
+
+    def __init__(self, spec: dict):
+        self.charset = spec["charset"]
+        self.is_ucs2 = spec["isUCS2"]
+        self.byte_class = _unpack_nibbles(spec["cclass"], 256)
+        self.next_state = _unpack_nibbles(spec["states"], len(spec["states"]) * 8)
+        self.n_state = spec["stFactor"]
+
+
+_ALL_VERIFIERS = [_Verifier(v) for v in VERIFIERS]
+
+
+class _EUCSampler:
+    """Port of nsEUCSampler.java:37-155."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.total = 0
+        self.state = 0
+        self.first_cnt = [0] * 94
+        self.second_cnt = [0] * 94
+
+    def enough_data(self) -> bool:
+        return self.total > 200
+
+    def get_some_data(self) -> bool:
+        return self.total > 1
+
+    def sample(self, buf: bytes | None, length: int) -> bool:
+        if self.state == 1:
+            return False
+        state = self.state
+        total = self.total
+        first, second = self.first_cnt, self.second_cnt
+        for i in range(length):
+            b = buf[i]
+            if state == 0:
+                if b & 0x80:
+                    if b == 0xFF or b < 0xA1:
+                        state = 1
+                        break
+                    total += 1
+                    first[b - 0xA1] += 1
+                    state = 2
+            elif state == 2:
+                if b & 0x80:
+                    if b == 0xFF or b < 0xA1:
+                        state = 1
+                        break
+                    total += 1
+                    second[b - 0xA1] += 1
+                    state = 0
+                else:
+                    state = 1
+                    break
+        self.state = state
+        self.total = total
+        return state != 1
+
+    def cal_freq(self):
+        t = float(self.total)
+        self.first_freq = [c / t for c in self.first_cnt]
+        self.second_freq = [c / t for c in self.second_cnt]
+
+    def get_score(self, stats: dict) -> float:
+        return stats["mFirstByteWeight"] * self._dist(
+            stats["mFirstByteFreq"], self.first_freq
+        ) + stats["mSecondByteWeight"] * self._dist(
+            stats["mSecondByteFreq"], self.second_freq
+        )
+
+    @staticmethod
+    def _dist(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            s += d * d
+        # Java computes in float32; math.sqrt in float64 matches to well
+        # below the score-comparison granularity of the frequency tables
+        return (s ** 0.5) / 94.0
+
+
+class NSDetector:
+    """Port of nsDetector(nsPSMDetector.ALL) + observer state."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.item_idx = list(range(len(_ALL_VERIFIERS)))
+        self.state = [0] * len(_ALL_VERIFIERS)
+        self.items = len(_ALL_VERIFIERS)
+        self.done = False
+        self.detected: str | None = None
+        self.run_sampler = True
+        self.sampler = _EUCSampler()
+
+    def _report(self, charset: str):
+        self.detected = charset
+        self.done = True
+
+    # nsPSMDetector.HandleData (nsPSMDetector.java:254-331)
+    def handle_data(self, buf: bytes) -> bool:
+        verifiers = _ALL_VERIFIERS
+        item_idx = self.item_idx
+        state = self.state
+        items = self.items
+        for b in buf:
+            j = 0
+            while j < items:
+                v = verifiers[item_idx[j]]
+                cl = v.byte_class[b]
+                st = v.next_state[(state[j] * v.n_state + cl) & 0xFF]
+                if st == _E_ITSME:
+                    self.items = items
+                    self._report(v.charset)
+                    return True
+                if st == _E_ERROR:
+                    items -= 1
+                    if j < items:
+                        item_idx[j] = item_idx[items]
+                        state[j] = state[items]
+                else:
+                    state[j] = st
+                    j += 1
+            if items <= 1:
+                self.items = items
+                if items == 1:
+                    self._report(verifiers[item_idx[0]].charset)
+                self.done = True
+                return True
+            non_ucs2 = [j for j in range(items) if not verifiers[item_idx[j]].is_ucs2]
+            if len(non_ucs2) == 1:
+                self.items = items
+                self._report(verifiers[item_idx[non_ucs2[0]]].charset)
+                return True
+        self.items = items
+        if self.run_sampler:
+            self._sample(buf, len(buf))
+        return self.done
+
+    # nsDetector.DoIt / isAscii (nsDetector.java:58-86)
+    def do_it(self, buf: bytes) -> bool:
+        if not buf:
+            return False
+        return self.handle_data(buf)
+
+    @staticmethod
+    def is_ascii(buf: bytes) -> bool:
+        if not buf:
+            return True
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        return not bool((arr & 0x80).any())
+
+    # nsPSMDetector.DataEnd (nsPSMDetector.java:333-350)
+    def data_end(self):
+        if self.done:
+            return
+        if self.items == 2:
+            c0 = _ALL_VERIFIERS[self.item_idx[0]].charset
+            c1 = _ALL_VERIFIERS[self.item_idx[1]].charset
+            if c0 == "GB18030":
+                self._report(c1)
+            elif c1 == "GB18030":
+                self._report(c0)
+        if self.run_sampler:
+            self._sample(None, 0, last_chance=True)
+
+    # nsPSMDetector.Sample (nsPSMDetector.java:352-407)
+    def _sample(self, buf: bytes | None, length: int, last_chance: bool = False):
+        euc_num = 0
+        possible = 0
+        for j in range(self.items):
+            idx = self.item_idx[j]
+            if idx in _STATS_BY_INDEX:
+                euc_num += 1
+            v = _ALL_VERIFIERS[idx]
+            if not v.is_ucs2 and v.charset != "GB18030":
+                possible += 1
+        self.run_sampler = euc_num > 1
+        if not self.run_sampler:
+            return
+        self.run_sampler = self.sampler.sample(buf, length)
+        if (
+            (last_chance and self.sampler.get_some_data())
+            or self.sampler.enough_data()
+        ) and euc_num == possible:
+            self.sampler.cal_freq()
+            best_idx = -1
+            euc_cnt = 0
+            best_score = 0.0
+            for j in range(self.items):
+                idx = self.item_idx[j]
+                stats_key = _STATS_BY_INDEX.get(idx)
+                if stats_key is not None and _ALL_VERIFIERS[idx].charset != "Big5":
+                    score = self.sampler.get_score(STATISTICS[stats_key])
+                    if euc_cnt == 0 or best_score > score:
+                        best_score = score
+                        best_idx = j
+                    euc_cnt += 1
+            if best_idx >= 0:
+                self._report(_ALL_VERIFIERS[self.item_idx[best_idx]].charset)
+
+    # nsPSMDetector.getProbableCharsets (nsPSMDetector.java:409-421)
+    def get_probable_charsets(self) -> list[str]:
+        if self.items <= 0:
+            return ["nomatch"]
+        return [_ALL_VERIFIERS[self.item_idx[i]].charset for i in range(self.items)]
+
+
+_MAX_CHARS_TO_DETECT = 16000
+
+
+def detect_character_encoding(content: bytes | None) -> str | None:
+    """Verbatim port of CharsetUtils.detectCharacterEncoding
+    (CharsetUtils.java:190-226), offset==0 path — quirks included (see
+    module docstring)."""
+    if content is None or len(content) == 0:
+        return None
+    det = NSDetector()
+    is_ascii = det.is_ascii(content)
+    if not is_ascii:
+        is_ascii = det.do_it(content[:_MAX_CHARS_TO_DETECT])
+    det.data_end()
+    if is_ascii:
+        return "ASCII"
+    if det.detected is not None:
+        return det.detected
+    prob = det.get_probable_charsets()
+    if prob:
+        return prob[0]
+    return None
+
+
+def alias_charset(name: str) -> str:
+    """CharsetUtils.aliasCharset (CharsetUtils.java:33-37): lowercase
+    lookup in the full aliasTable, unchanged when absent."""
+    alias = ALIAS_TABLE.get(name.lower())
+    return alias if alias is not None else name
+
+
+# Java canonical charset name -> Python codec.  Where CPython lacks the
+# exact Java converter we substitute the closest codec and document the
+# divergence; None means Java would also fail (or CPython cannot decode
+# at all) and the caller returns None like Charset.decode throwing.
+_JAVA_TO_PYTHON_CODEC: dict[str, str | None] = {
+    "UTF-8": "utf-8",
+    "UTF-16": "utf-16",
+    "UTF-16BE": "utf-16-be",
+    "UTF-16LE": "utf-16-le",
+    "US-ASCII": "ascii",
+    "ASCII": "ascii",
+    "ISO-8859-1": "iso8859-1",
+    "ISO-8859-2": "iso8859-2",
+    "ISO-8859-3": "iso8859-3",
+    "ISO-8859-4": "iso8859-4",
+    "ISO-8859-5": "iso8859-5",
+    "ISO-8859-6": "iso8859-6",
+    "ISO-8859-7": "iso8859-7",
+    "ISO-8859-8": "iso8859-8",
+    "ISO-8859-9": "iso8859-9",
+    "ISO-8859-13": "iso8859-13",
+    "ISO-8859-15": "iso8859-15",
+    "windows-1250": "cp1250",
+    "windows-1251": "cp1251",
+    "windows-1252": "cp1252",
+    "windows-1253": "cp1253",
+    "windows-1254": "cp1254",
+    "windows-1255": "cp1255",
+    "windows-1256": "cp1256",
+    "windows-1257": "cp1257",
+    "windows-1258": "cp1258",
+    "KOI8-R": "koi8-r",
+    # x-IBM943 differs from cp932 in the 0x5C/0x7E single-byte mappings
+    # (handled by _IBM943_FIXUP below) and a few double-byte PUA rows
+    # (documented divergence).
+    "x-IBM943": "cp932",
+    "Shift_JIS": "shift_jis",
+    # x-JISAutoDetect autodetects SJIS/EUC-JP/ISO-2022-JP; it is only
+    # reached via euc-jp-family aliases, where decoding as EUC-JP is
+    # behavior-identical.
+    "x-JISAutoDetect": "euc_jp",
+    "EUC-JP": "euc_jp",
+    "x-IBM33722": "euc_jp",
+    "EUC-KR": "euc_kr",
+    "x-IBM949": "cp949",
+    "x-windows-949": "cp949",
+    "GB2312": "gb2312",
+    "GBK": "gbk",
+    "GB18030": "gb18030",
+    "Big5": "big5",
+    "x-IBM950": "big5",
+    "Big5-HKSCS": "big5hkscs",
+    "x-MS950-HKSCS": "big5hkscs",
+    "ISO-2022-JP": "iso2022_jp",
+    "ISO-2022-KR": "iso2022_kr",
+    "HZ-GB-2312": "hz",
+    "x-windows-874": "cp874",
+    "x-IBM874": "cp874",
+    "IBM-Thai": None,  # CPython has no cp838
+    "IBM437": "cp437",
+    "IBM850": "cp850",
+    "IBM852": "cp852",
+    "IBM855": "cp855",
+    "IBM857": "cp857",
+    "IBM00858": "cp858",
+    "IBM860": "cp860",
+    "IBM861": "cp861",
+    "IBM862": "cp862",
+    "IBM863": "cp863",
+    "IBM864": "cp864",
+    "IBM865": "cp865",
+    "IBM866": "cp866",
+    "IBM869": "cp869",
+    "IBM037": "cp037",
+    "IBM273": "cp273",
+    "IBM500": "cp500",
+    "IBM775": "cp775",
+    "IBM1026": "cp1026",
+    "IBM1047": "cp1047",
+    "IBM01140": "cp1140",
+    "x-IBM737": "cp737",
+    "x-IBM856": "cp856",
+    "x-IBM1006": "cp1006",
+    # Java-only converters CPython lacks entirely:
+    "x-euc-tw": None,
+    "x-IBM964": None,
+    "ISO-2022-CN": None,
+    "ibm-916": "iso8859-8",
+    "nomatch": None,
+}
+
+# x-IBM943 (ibm-943_p130-1999) maps 0x5C -> U+00A5 and 0x7E -> U+203E;
+# cp932 maps them to U+005C / U+007E, and no double-byte cp932 sequence
+# decodes to those two codepoints, so a post-translate is exact for the
+# single-byte plane.
+_IBM943_FIXUP = str.maketrans({0x5C: 0xA5, 0x7E: 0x203E})
+
+
+def java_charset_to_codec(java_name: str) -> str | None:
+    """Resolve a Java canonical charset name to a Python codec name, or
+    None when no CPython equivalent exists."""
+    codec = _JAVA_TO_PYTHON_CODEC.get(java_name)
+    if codec is not None:
+        return codec
+    if java_name in _JAVA_TO_PYTHON_CODEC:
+        return None  # known Java-only converter
+    # unknown name: let Python's codec registry try (mirrors
+    # Charset.forName falling through to the provider chain)
+    try:
+        import codecs
+
+        codecs.lookup(java_name)
+        return java_name
+    except LookupError:
+        return None
+
+
+def decode_as_java(data: bytes, java_name: str) -> str | None:
+    """Decode ``data`` the way Java's Charset.decode(charset) would
+    (malformed/unmappable -> U+FFFD), or None when the charset cannot be
+    resolved (Charset.forName throw path)."""
+    codec = java_charset_to_codec(java_name)
+    if codec is None:
+        return None
+    out = data.decode(codec, errors="replace")
+    if java_name == "x-IBM943":
+        out = out.translate(_IBM943_FIXUP)
+    return out

@@ -152,7 +152,29 @@ class CrawlFrontier:
         )
 
     def run_round(self, round_no: int) -> dict:
-        """Execute one crawl round (round_no >= 1); returns metrics."""
+        """Execute one crawl round (round_no >= 1); returns metrics.
+
+        Action budget (the per-round fixed cost at production scale):
+        exactly four write jobs — scheduled, frontier, filters, lineage
+        (+ the tiny seen-delta write folded into the scheduled job's
+        cached inputs).  All row counts come from Observations attached
+        to those same writes; no separate .count()/.toPandas() jobs and
+        no post-write re-reads."""
+        import os
+        import time as _time
+
+        from pyspark.sql import Observation
+
+        _prof = os.environ.get("CCSPARK_PROFILE") == "1"
+        _t0 = _time.time()
+
+        def _mark(label):
+            nonlocal _t0
+            if _prof:
+                now = _time.time()
+                print(f"[frontier r{round_no}] {label}: {now - _t0:.2f}s", flush=True)
+                _t0 = now
+
         spark, cfg, ckpt = self.spark, self.cfg, self.ckpt
         prev = round_no - 1
 
@@ -174,16 +196,24 @@ class CrawlFrontier:
             return {"round": round_no, "candidates": 0, "scheduled": 0, "new_links": 0}
 
         # novelty gate: bloom/cuckoo pre-screen + exact confirm
-        novel = seenset.filter_new(frontier, seen, filters, cfg.num_partitions).cache()
+        obs_novel = Observation(f"novel_{round_no}")
+        novel = (
+            seenset.filter_new(frontier, seen, filters, cfg.num_partitions)
+            .observe(obs_novel, F.count(F.lit(1)).alias("n"))
+            .cache()
+        )
 
-        # politeness: robots + budgets + salted per-host rank
-        scheduled = politeness.schedule_round(
+        # politeness: robots + budgets + salted per-host rank; disallowed
+        # rows are retired into the seen set so the frontier drains of
+        # them instead of re-probing every round
+        sched_df, disallowed = politeness.schedule_round(
             novel,
             self._robots(),
             cfg.default_budget,
             cfg.round_duration_ms,
             cfg.n_salts,
-        ).withColumn("round", F.lit(round_no))
+            return_disallowed=True,
+        )
         sched_cols = [
             "round",
             "host",
@@ -194,9 +224,27 @@ class CrawlFrontier:
             "url_hash",
             "priority",
         ]
-        scheduled = scheduled.select(*sched_cols).cache()
-        ckpt.write(scheduled, "scheduled", round_no)
-        scheduled = ckpt.read(spark, "scheduled", round_no)  # re-read: stable lineage
+        obs_sched = Observation(f"sched_{round_no}")
+        scheduled = (
+            sched_df.withColumn("round", F.lit(round_no))
+            .select(*sched_cols)
+            .observe(obs_sched, F.count(F.lit(1)).alias("n"))
+            .cache()
+        )
+        ckpt.write(scheduled, "scheduled", round_no)  # action 1 (fills caches)
+        _mark("sched_write")
+
+        # seen delta = scheduled ∪ robots-excluded identities
+        seen_delta = (
+            scheduled.select("domain_hash", "url_hash")
+            .unionByName(disallowed.select("domain_hash", "url_hash"))
+            .cache()
+        )
+        ckpt.write(seen_delta, "seen", round_no)  # action 2 (small)
+        _mark("seen_write")
+        seen_new = (
+            seen.unionByName(seen_delta) if seen is not None else seen_delta
+        )
 
         # fetch simulation → discovered links
         def _expand(batches):
@@ -212,14 +260,10 @@ class CrawlFrontier:
         )
         links = self._identify(links_raw, round_no)
 
-        # seen delta = scheduled identities
-        seen_delta = scheduled.select("domain_hash", "url_hash").distinct()
-        ckpt.write(seen_delta, "seen", round_no)
-        seen_new = ckpt.read_all_rounds(spark, "seen", round_no)
-
         # next frontier: unscheduled novel + unseen links, max-priority merge
         leftover = novel.join(seen_delta, ["domain_hash", "url_hash"], "left_anti").select(*FRONTIER_COLS)
         links_unseen = links.join(seen_new, ["domain_hash", "url_hash"], "left_anti")
+        obs_frontier = Observation(f"frontier_{round_no}")
         next_frontier = (
             leftover.unionByName(links_unseen)
             .groupBy("domain_hash", "url_hash")
@@ -232,9 +276,10 @@ class CrawlFrontier:
             )
             .select(*FRONTIER_COLS)
             .repartition(cfg.num_partitions, "domain_hash")
+            .observe(obs_frontier, F.count(F.lit(1)).alias("n"))
         )
-        ckpt.write(next_frontier, "frontier", round_no)
-        next_frontier = ckpt.read(spark, "frontier", round_no)
+        ckpt.write(next_frontier, "frontier", round_no)  # action 3
+        _mark("frontier_write")
 
         # filters: bloom → incremental (delta build over this round's new
         # identities, then bitwise-OR with the previous filter — never a
@@ -252,56 +297,48 @@ class CrawlFrontier:
             filters_new = seenset.build_filters(
                 seen_new, cfg.num_partitions, "cuckoo", cfg.buckets_per_element
             )
-        ckpt.write(filters_new, "filters", round_no)
+        ckpt.write(filters_new, "filters", round_no)  # action 4
+        _mark("filters_write")
 
-        # lineage: per-partition commit record
+        # lineage: per-partition commit record — ONE tagged-union job over
+        # the cached frames instead of three groupBys + joins
         pid = F.pmod(F.col("domain_hash"), F.lit(cfg.num_partitions)).cast("int")
-        sched_stats = (
-            scheduled.withColumn("partition_id", pid)
-            .groupBy("partition_id")
-            .agg(
-                F.count("*").alias("urls_emitted"),
-                F.min("domain_hash").alias("hash_range_start"),
-                F.max("domain_hash").alias("hash_range_end"),
-                F.count("*").alias("fetch_budget_consumed"),
-            )
-        )
-        dedup_stats = (
-            frontier.withColumn("partition_id", pid)
-            .groupBy("partition_id")
-            .agg(F.count("*").alias("n_candidates"))
-            .join(
-                novel.withColumn("partition_id", pid)
-                .groupBy("partition_id")
-                .agg(F.count("*").alias("n_novel")),
-                "partition_id",
-                "left",
-            )
-            .withColumn("urls_deduped", F.col("n_candidates") - F.coalesce(F.col("n_novel"), F.lit(0)))
-            .select("partition_id", "urls_deduped")
+        tagged = (
+            frontier.select(pid.alias("partition_id"), F.lit("cand").alias("t"), "domain_hash")
+            .unionByName(novel.select(pid.alias("partition_id"), F.lit("novel").alias("t"), "domain_hash"))
+            .unionByName(scheduled.select(pid.alias("partition_id"), F.lit("sched").alias("t"), "domain_hash"))
         )
         lineage = (
-            sched_stats.join(dedup_stats, "partition_id", "outer")
+            tagged.groupBy("partition_id")
+            .agg(
+                F.count(F.when(F.col("t") == "cand", 1)).alias("n_candidates"),
+                F.count(F.when(F.col("t") == "novel", 1)).alias("n_novel"),
+                F.count(F.when(F.col("t") == "sched", 1)).alias("urls_emitted"),
+                F.min(F.when(F.col("t") == "sched", F.col("domain_hash"))).alias("hash_range_start"),
+                F.max(F.when(F.col("t") == "sched", F.col("domain_hash"))).alias("hash_range_end"),
+            )
             .withColumn("round", F.lit(round_no))
             .select(
                 "round",
                 "partition_id",
                 "hash_range_start",
                 "hash_range_end",
-                F.coalesce(F.col("urls_emitted"), F.lit(0)).alias("urls_emitted"),
-                F.coalesce(F.col("urls_deduped"), F.lit(0)).alias("urls_deduped"),
-                F.coalesce(F.col("fetch_budget_consumed"), F.lit(0)).alias("fetch_budget_consumed"),
+                "urls_emitted",
+                (F.col("n_candidates") - F.col("n_novel")).alias("urls_deduped"),
+                F.col("urls_emitted").alias("fetch_budget_consumed"),
             )
         )
-        ckpt.write(lineage, "lineage", round_no)
+        ckpt.write(lineage, "lineage", round_no)  # action 5 (tiny)
+        _mark("lineage_write")
 
-        # derive counts from the (tiny) lineage table + parquet metadata —
-        # avoids extra full-table jobs per round
-        lin_pdf = ckpt.read(spark, "lineage", round_no).toPandas()
-        n_scheduled = int(lin_pdf["urls_emitted"].sum())
-        n_novel = n_candidates - int(lin_pdf["urls_deduped"].sum())
-        n_frontier = next_frontier.count()  # parquet count: metadata-only
+        # counts come from the Observations filled by the write actions —
+        # no extra jobs
+        n_novel = int(obs_novel.get["n"])
+        n_scheduled = int(obs_sched.get["n"])
+        n_frontier = int(obs_frontier.get["n"])
         novel.unpersist()
+        scheduled.unpersist()
+        seen_delta.unpersist()
 
         ckpt.commit_round(
             round_no,

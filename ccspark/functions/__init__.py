@@ -68,9 +68,11 @@ _CANON_FP_SCHEMA = StructType(
 @pandas_udf(_CANON_FP_SCHEMA)
 def canonical_urlfp(raw: pd.Series) -> pd.DataFrame:
     """Fused canonicalize + URLFPV2 in ONE Arrow pass — half the
-    JVM↔Python traffic of chaining the two UDFs; use this in hot paths."""
-    canon = urls.canonicalize_batch(raw)
-    fp = urls.urlfp_batch(canon)
+    JVM↔Python traffic of chaining the two UDFs; use this in hot paths.
+    The byte-matrix kernel's host byproduct also skips the fingerprint
+    stage's host re-extraction regex."""
+    canon, hosts = urls.canonicalize_batch_with_host(raw)
+    fp = urls.urlfp_batch(canon, hosts=hosts)
     fp.insert(0, "canonical_url", canon)
     return fp
 

@@ -36,7 +36,14 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> tuple[list[str], int
 
     Honors the most-specific matching user-agent group (exact agent
     name beats ``*``), Disallow path prefixes (empty Disallow = allow
-    all), and Crawl-delay seconds.  Feeds the per-host rules table."""
+    all), and Crawl-delay seconds.  Feeds the per-host rules table.
+
+    NOTE: this is the conservative *prefix-only* subset (no Allow, no
+    '*'/'$' patterns) used by the synthetic frontier and its pure-Python
+    replay oracle; hosts using Allow-exceptions or wildcards are
+    over-blocked here.  For RFC 9309 semantics (Allow with
+    longest-match precedence, '*' and '$' patterns) use
+    ``parse_robots_rules`` + ``robots_rules_table`` + ``robots_allow_rfc``."""
     if not text:
         return [], None
     groups: dict[str, tuple[list[str], float | None]] = {}
@@ -75,6 +82,157 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> tuple[list[str], int
         return [], None
     dis, delay = pick
     return dis, int(delay * 1000) if delay is not None else None
+
+
+def parse_robots_rules(
+    text: str | None, agent: str = "*"
+) -> tuple[list[tuple[str, bool]], int | None]:
+    """RFC 9309 robots.txt parser → ([(pattern, is_allow)], crawl_delay_ms).
+
+    Both Allow and Disallow lines are kept, in file order, with their raw
+    path patterns ('*' any-sequence wildcard, '$' end anchor).  Matching
+    precedence (longest pattern wins, tie → Allow) is applied at
+    evaluation time by ``robots_allow_rfc`` / ``robots_decision``.
+    Group selection matches parse_robots_txt: exact agent beats '*'."""
+    if not text:
+        return [], None
+    groups: dict[str, tuple[list[tuple[str, bool]], float | None]] = {}
+    current: list[str] = []
+    collecting = False
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            ua = value.lower()
+            if not collecting:
+                current = []
+            current.append(ua)
+            collecting = True
+            for u in current:
+                groups.setdefault(u, ([], None))
+        elif key in ("disallow", "allow", "crawl-delay"):
+            collecting = False
+            for u in current:
+                rules, delay = groups.get(u, ([], None))
+                if key == "crawl-delay":
+                    try:
+                        delay = float(value)
+                    except ValueError:
+                        pass
+                elif value:  # empty Allow/Disallow matches nothing (RFC 9309 §2.2.2)
+                    rules = rules + [(value, key == "allow")]
+                groups[u] = (rules, delay)
+    pick = groups.get(agent.lower()) or groups.get("*")
+    if pick is None:
+        return [], None
+    rules, delay = pick
+    return rules, int(delay * 1000) if delay is not None else None
+
+
+def _pattern_to_regex(pattern: str) -> str:
+    """Robots path pattern → anchored Java/Python-compatible regex:
+    '*' → '.*', trailing '$' → end anchor, everything else literal."""
+    import re as _re
+
+    anchored_end = pattern.endswith("$")
+    body = pattern[:-1] if anchored_end else pattern
+    rx = "".join(".*" if c == "*" else _re.escape(c) for c in body)
+    return "^" + rx + ("$" if anchored_end else "")
+
+
+def robots_decision(path: str, rules: list[tuple[str, bool]]) -> bool:
+    """Scalar RFC 9309 decision: True = allowed.  Longest matching
+    pattern wins; equal lengths → Allow wins; no match → allowed."""
+    import re as _re
+
+    best_len = -1
+    best_allow = True
+    for pattern, is_allow in rules:
+        if _re.match(_pattern_to_regex(pattern), path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and is_allow and not best_allow):
+                best_len = plen
+                best_allow = is_allow
+    return best_allow
+
+
+def robots_rules_table(
+    df: DataFrame, host_col: str = "host", body_col: str = "robots_txt", agent: str = "*"
+) -> DataFrame:
+    """(host, robots_txt) rows → RFC 9309 rules table:
+    (host, rules array<struct<rx,len,allow>>, crawl_delay_ms,
+    max_fetches_per_round)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rule_t = StructType(
+        [
+            StructField("rx", StringType()),
+            StructField("len", IntegerType()),
+            StructField("allow", BooleanType()),
+        ]
+    )
+    schema = StructType(
+        [
+            StructField("rules", ArrayType(rule_t)),
+            StructField("crawl_delay_ms", LongType()),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _parse(bodies: pd.Series) -> pd.DataFrame:
+        out_rules, out_delay = [], []
+        for b in bodies:
+            rules, delay = parse_robots_rules(b, agent)
+            out_rules.append(
+                [
+                    {"rx": _pattern_to_regex(p), "len": len(p), "allow": a}
+                    for p, a in rules
+                ]
+            )
+            out_delay.append(delay)
+        return pd.DataFrame(
+            {"rules": out_rules, "crawl_delay_ms": pd.array(out_delay, dtype="Int64")}
+        )
+
+    parsed = df.withColumn("_r", _parse(F.col(body_col)))
+    return parsed.select(
+        F.col(host_col).alias("host"),
+        F.col("_r.rules").alias("rules"),
+        F.col("_r.crawl_delay_ms").alias("crawl_delay_ms"),
+        F.lit(None).cast("int").alias("max_fetches_per_round"),
+    )
+
+
+def robots_allow_rfc(df: DataFrame, robots: DataFrame, broadcast_robots: bool = True) -> DataFrame:
+    """RFC 9309 gate as a pure Catalyst higher-order-function fold:
+    keep rows whose path's longest matching rule allows (tie → Allow;
+    no rules / no match → allow)."""
+    r = robots.select("host", "rules", "crawl_delay_ms", "max_fetches_per_round")
+    if broadcast_robots:
+        r = F.broadcast(r)
+    joined = df.join(r, "host", "left")
+    allowed = F.expr(
+        "rules IS NULL OR aggregate("
+        "  filter(rules, x -> path rlike x.rx),"
+        "  named_struct('len', -1, 'allow', true),"
+        "  (acc, x) -> IF(x.len > acc.len OR (x.len = acc.len AND x.allow AND NOT acc.allow),"
+        "               named_struct('len', x.len, 'allow', x.allow), acc)"
+        ").allow"
+    )
+    return joined.filter(allowed)
 
 
 def robots_table_from_fetches(df: DataFrame, host_col: str = "host", body_col: str = "robots_txt", agent: str = "*") -> DataFrame:
@@ -121,8 +279,11 @@ def with_host_and_path(df: DataFrame, canonical_col: str = "canonical_url") -> D
     )
 
 
-def robots_allow(df: DataFrame, robots: DataFrame, broadcast_robots: bool = True) -> DataFrame:
-    """Filter out disallowed paths; hosts without rules default-allow."""
+def robots_gate(df: DataFrame, robots: DataFrame, broadcast_robots: bool = True) -> DataFrame:
+    """Join the rules table and add a ``robots_allowed`` flag (prefix
+    subset; hosts without rules default-allow).  Callers split on the
+    flag: allowed rows go to ranking, disallowed rows to the excluded
+    set so they drain from the frontier."""
     r = robots.select("host", "disallow_prefixes", "crawl_delay_ms", "max_fetches_per_round")
     if broadcast_robots:
         r = F.broadcast(r)
@@ -131,7 +292,12 @@ def robots_allow(df: DataFrame, robots: DataFrame, broadcast_robots: bool = True
         F.col("disallow_prefixes").isNotNull(),
         F.exists("disallow_prefixes", lambda p: F.col("path").startswith(p)),
     ).otherwise(F.lit(False))
-    return joined.filter(~disallowed)
+    return joined.withColumn("robots_allowed", ~disallowed)
+
+
+def robots_allow(df: DataFrame, robots: DataFrame, broadcast_robots: bool = True) -> DataFrame:
+    """Filter out disallowed paths; hosts without rules default-allow."""
+    return robots_gate(df, robots, broadcast_robots).filter("robots_allowed").drop("robots_allowed")
 
 
 def with_budget(
@@ -173,13 +339,25 @@ def schedule_round(
     round_duration_ms: int = DEFAULT_ROUND_MS,
     n_salts: int = 16,
     broadcast_robots: bool = True,
-) -> DataFrame:
+    return_disallowed: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Full politeness gate: host/path → robots → budget → salted rank.
 
     Input needs (canonical_url, priority, domain_hash, url_hash);
     output adds host, path, budget, host_rank (the per-host fetch order).
-    """
+    With ``return_disallowed`` also returns the robots-rejected rows so
+    the frontier can retire them (they would otherwise be re-probed
+    every round forever)."""
     df = with_host_and_path(candidates)
-    df = robots_allow(df, robots, broadcast_robots)
-    df = with_budget(df, default_budget, round_duration_ms)
-    return rank_per_host(df, n_salts).drop("disallow_prefixes", "crawl_delay_ms", "max_fetches_per_round")
+    gated = robots_gate(df, robots, broadcast_robots)
+    allowed = gated.filter("robots_allowed").drop("robots_allowed")
+    allowed = with_budget(allowed, default_budget, round_duration_ms)
+    sched = rank_per_host(allowed, n_salts).drop(
+        "disallow_prefixes", "crawl_delay_ms", "max_fetches_per_round"
+    )
+    if return_disallowed:
+        disallowed = gated.filter(~F.col("robots_allowed")).drop(
+            "robots_allowed", "disallow_prefixes", "crawl_delay_ms", "max_fetches_per_round"
+        )
+        return sched, disallowed
+    return sched

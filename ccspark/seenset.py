@@ -106,8 +106,21 @@ def _ck_alt_index(i: np.ndarray, f: np.ndarray, nb: int) -> np.ndarray:
     return (i.astype(np.uint64) ^ fh.astype(np.uint64)).astype(np.int64) & (nb - 1)
 
 
+def _ck_alt_index_scalar(i: int, fp: int, nb: int) -> int:
+    fh = (int(fp) * 0x5BD1E995) & 0xFFFFFFFF
+    return (int(i) ^ fh) & (nb - 1)
+
+
 def cuckoo_build(keys: np.ndarray, load_factor: float = 0.84) -> tuple[int, int, bytes]:
-    """Build a cuckoo filter → (slots_per_bucket, num_buckets, table bytes)."""
+    """Build a cuckoo filter → (slots_per_bucket, num_buckets, table bytes).
+
+    Vectorized two-pass bulk placement: every (bucket, fingerprint) pair
+    is deduped, then pass 1 fills i1 buckets in bulk (grouped rank →
+    slot assignment) and pass 2 does the same for i2 of the overflow;
+    only the tiny residue that misses both buckets takes the per-key
+    eviction loop.  Deterministic (sorted dedupe + stable ranks + seeded
+    eviction), and every retained key remains probe-able at i1 or i2 —
+    identical false-negative guarantees to the sequential build."""
     n = max(len(keys), 1)
     nb = 1
     while nb * _CK_SLOTS * load_factor < n:
@@ -115,39 +128,53 @@ def cuckoo_build(keys: np.ndarray, load_factor: float = 0.84) -> tuple[int, int,
     table = np.zeros((nb, _CK_SLOTS), dtype=np.uint16)
     if len(keys):
         keys = np.asarray(keys, dtype=np.int64)
-        f = _ck_fingerprint(keys)
-        i1 = _ck_index1(keys, nb)
-        rng = np.random.RandomState(42)  # deterministic eviction choices
-        for fp, idx in zip(f, i1):
-            fp = np.uint16(fp)
-            i = int(idx)
-            placed = False
-            for cand in (i, int(_ck_alt_index(np.array([i]), np.array([fp]), nb)[0])):
-                row = table[cand]
-                empty = np.nonzero(row == 0)[0]
-                if len(empty):
-                    table[cand, empty[0]] = fp
-                    placed = True
-                    break
-                if (row == fp).any():
-                    placed = True
-                    break
-            if placed:
-                continue
-            # evict loop
-            cur = i
-            for _ in range(_CK_MAX_KICKS):
-                slot = rng.randint(_CK_SLOTS)
-                fp, table[cur, slot] = table[cur, slot], fp
-                cur = int(_ck_alt_index(np.array([cur]), np.array([fp]), nb)[0])
-                row = table[cur]
-                empty = np.nonzero(row == 0)[0]
-                if len(empty):
-                    table[cur, empty[0]] = fp
-                    fp = np.uint16(0)
-                    break
-            # on overflow the displaced fingerprint is dropped (fp>0):
-            # acceptable for a pre-filter — exact confirm catches it
+        f_all = _ck_fingerprint(keys)
+        i1_all = _ck_index1(keys, nb)
+        # dedupe (bucket, fp) pairs — mirrors the sequential build's
+        # "fingerprint already present" short-circuit
+        combo = (i1_all.astype(np.uint64) << np.uint64(16)) | f_all.astype(np.uint64)
+        combo = np.unique(combo)
+        i1 = (combo >> np.uint64(16)).astype(np.int64)
+        f = (combo & np.uint64(0xFFFF)).astype(np.uint16)
+        used = np.zeros(nb, dtype=np.int64)
+
+        def _bulk_place(fps: np.ndarray, buckets: np.ndarray) -> np.ndarray:
+            """Place what fits; returns positions (into fps) that did not."""
+            order = np.argsort(buckets, kind="stable")
+            b_s = buckets[order]
+            f_s = fps[order]
+            first = np.r_[True, b_s[1:] != b_s[:-1]] if len(b_s) else np.zeros(0, bool)
+            grp_start = np.flatnonzero(first)
+            grp_sizes = np.diff(np.r_[grp_start, len(b_s)])
+            ranks = np.arange(len(b_s)) - np.repeat(grp_start, grp_sizes)
+            slot = used[b_s] + ranks
+            fit = slot < _CK_SLOTS
+            table[b_s[fit], slot[fit]] = f_s[fit]
+            used[:] += np.bincount(b_s[fit], minlength=nb)
+            return order[~fit]
+
+        left = _bulk_place(f, i1)
+        if len(left):
+            i2 = _ck_alt_index(i1[left], f[left], nb)
+            left2 = _bulk_place(f[left], i2)
+            # eviction residue: per-key loop over the (rare) keys whose
+            # both buckets were full
+            rng = np.random.RandomState(42)
+            for pos in left2:
+                fp = int(f[left][pos])
+                cur = int(i1[left][pos])
+                for _ in range(_CK_MAX_KICKS):
+                    slot = rng.randint(_CK_SLOTS)
+                    fp, table[cur, slot] = int(table[cur, slot]), fp
+                    cur = _ck_alt_index_scalar(cur, fp, nb)
+                    row = table[cur]
+                    empty = np.nonzero(row == 0)[0]
+                    if len(empty):
+                        table[cur, empty[0]] = fp
+                        fp = 0
+                        break
+                # on overflow the displaced fingerprint is dropped (fp>0):
+                # acceptable for a pre-filter — exact confirm catches it
     return _CK_SLOTS, nb, table.tobytes()
 
 

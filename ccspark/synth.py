@@ -240,9 +240,11 @@ def gen_seeds(spark, n: int, n_hosts: int | None = None, seed: int = 42):
             if len(ids) == 0:
                 yield pd.DataFrame({"url": pd.Series(dtype=object), "priority": pd.Series(dtype=np.float64)})
                 continue
-            pages = gen_pages_pdf(ids, n_hosts, seed)
+            # urls only — gen_pages_pdf would also synthesize/encode/gzip
+            # the html payloads, which seeds never use
+            urls, _ = gen_urls_pdf(ids, n_hosts, seed)
             pr = (_rand(ids, 9, seed) % np.uint64(1000)).astype(np.float64) / 1000.0
-            yield pd.DataFrame({"url": pages["url"], "priority": pr})
+            yield pd.DataFrame({"url": urls.to_numpy(), "priority": pr})
 
     return spark.range(n).mapInPandas(_gen, schema="url string, priority double")
 

@@ -10,11 +10,11 @@ Re-expresses the reference's charset pipeline
 2. ``<meta http-equiv="content-type" ... charset=...>`` sniff over the
    first 2000 bytes, matched against an ASCII-padded view
    (CharsetUtils.sniffCharacterEncoding:142-172, CHUNK_SIZE=2000).
-3. deterministic detector stand-in for jchardet
-   (CharsetUtils.detectCharacterEncoding:190-226): pure-ASCII → ASCII;
-   valid UTF-8 → UTF-8; else windows-1252.  (The Mozilla chardet stack
-   is replaced by this total order so results are reproducible.)
-4. charset alias normalization (CharsetUtils.aliasTable subset) and
+3. faithful jchardet detector port (ccspark.chardet — bit-exact state
+   tables, quirks included) matching
+   CharsetUtils.detectCharacterEncoding:190-226, golden-gated against
+   the compiled reference detector.
+4. charset alias normalization over the full 707-entry aliasTable and
    decode with U+FFFD replacement (Java Charset.decode default).
 
 ``extract_text`` additionally strips markup deterministically (tags
@@ -32,6 +32,8 @@ import zlib
 import numpy as np
 import pandas as pd
 
+from . import chardet
+
 _GZIP_MAGIC = b"\x1f\x8b"
 _CHUNK_SIZE = 2000
 _MAX_UNZIP = 2 << 20  # GZIPUtils call site in the ARC writer uses 2MB
@@ -39,53 +41,13 @@ _MAX_UNZIP = 2 << 20  # GZIPUtils call site in the ARC writer uses 2MB
 _META_RE = re.compile(rb"<meta\s+([^>]*http-equiv=\"?content-type\"?[^>]*)>", re.IGNORECASE)
 _CHARSET_RE = re.compile(rb"charset=\s*([a-z][_\-0-9a-z]*)", re.IGNORECASE)
 
-# subset of CharsetUtils.aliasTable covering charsets a crawl actually sees,
-# mapped to Python codec names
-_ALIASES = {
-    "ascii": "ascii",
-    "us-ascii": "ascii",
-    "ansi_x3.4-1968": "ascii",
-    "iso646-us": "ascii",
-    "utf-8": "utf-8",
-    "utf8": "utf-8",
-    "cp1208": "utf-8",
-    "windows-65001": "utf-8",
-    "iso-8859-1": "latin-1",
-    "latin1": "latin-1",
-    "8859_1": "latin-1",
-    "l1": "latin-1",
-    "cp819": "latin-1",
-    "iso-8859-2": "iso8859-2",
-    "latin2": "iso8859-2",
-    "iso-8859-15": "iso8859-15",
-    "latin-9": "iso8859-15",
-    "windows-1250": "cp1250",
-    "cp1250": "cp1250",
-    "windows-1251": "cp1251",
-    "cp1251": "cp1251",
-    "windows-1252": "cp1252",
-    "cp1252": "cp1252",
-    "shift_jis": "shift_jis",
-    "sjis": "shift_jis",
-    "x-sjis": "shift_jis",
-    "euc-jp": "euc_jp",
-    "euc-kr": "euc_kr",
-    "ks_c_5601-1987": "euc_kr",
-    "gb2312": "gb2312",
-    "gbk": "gbk",
-    "big5": "big5",
-    "koi8-r": "koi8_r",
-    "utf-16": "utf-16",
-    "unicode": "utf-16",
-    "utf-16be": "utf-16-be",
-    "utf-16le": "utf-16-le",
-}
-
-
 def alias_charset(name: str) -> str:
-    """Normalize a sniffed/declared charset name to a Python codec."""
-    key = name.strip().lower()
-    return _ALIASES.get(key, key)
+    """Normalize a sniffed/declared charset name to a Python codec via the
+    full reference aliasTable (CharsetUtils.aliasCharset) followed by the
+    Java-name → Python-codec map; unresolvable names pass through."""
+    java = chardet.alias_charset(name.strip())
+    codec = chardet.java_charset_to_codec(java)
+    return codec if codec is not None else name
 
 
 def unzip_best_effort(data: bytes, size_limit: int = _MAX_UNZIP) -> tuple[bytes, bool]:
@@ -117,23 +79,22 @@ def sniff_charset(content: bytes) -> str | None:
     return None
 
 
-def detect_charset(content: bytes) -> str:
-    """Deterministic detector stand-in (see module docstring)."""
-    probe = content[:16000]
-    try:
-        probe.decode("ascii")
-        return "ascii"
-    except UnicodeDecodeError:
-        pass
-    try:
-        probe.decode("utf-8")
-        return "utf-8"
-    except UnicodeDecodeError:
-        return "windows-1252"
+def detect_charset(content: bytes) -> str | None:
+    """Faithful jchardet-backed detector — port of
+    CharsetUtils.detectCharacterEncoding (see ccspark.chardet)."""
+    return chardet.detect_character_encoding(content)
 
 
 def decode_html(raw: bytes | None) -> tuple[str | None, bool]:
-    """Full decode pipeline → (unicode_html, was_truncated)."""
+    """Full decode pipeline → (unicode_html, was_truncated).
+
+    Adapts CharsetUtils.bestEffortDecodeBytes (CharsetUtils.java:38-114)
+    to the headerless ``pages`` shape: the header-charset stage does not
+    exist, so the meta sniff (which the reference runs to *override* a
+    header charset on text/html) becomes the first stage, then the
+    jchardet detector with ASCII fallback (:59-73), the aliasTable
+    (:76-82), and Charset.decode with U+FFFD replacement (:85-110)
+    including the forName-failure re-detect path (:88-100)."""
     if raw is None:
         return None, False
     truncated = False
@@ -141,11 +102,18 @@ def decode_html(raw: bytes | None) -> tuple[str | None, bool]:
     if data[:2] == _GZIP_MAGIC:
         data, truncated = unzip_best_effort(data)
     charset = sniff_charset(data)
-    codec = alias_charset(charset) if charset else detect_charset(data)
-    try:
-        return data.decode(codec, errors="replace"), truncated
-    except LookupError:
-        return data.decode(detect_charset(data), errors="replace"), truncated
+    if charset is None:
+        charset = chardet.detect_character_encoding(data)
+        if charset is None:
+            charset = "ASCII"
+    java_name = chardet.alias_charset(charset)
+    out = chardet.decode_as_java(data, java_name)
+    if out is None:
+        # Charset.forName failure → re-detect and retry (:88-100)
+        detected = chardet.detect_character_encoding(data)
+        if detected is not None:
+            out = chardet.decode_as_java(data, chardet.alias_charset(detected))
+    return out, truncated
 
 
 _TAG_RE = re.compile(r"<[^>]*>|<[^>]*$")

@@ -643,21 +643,24 @@ def _canonicalize_tier2(urls: pd.Series) -> pd.Series:
 
 
 def canonicalize_batch(urls: pd.Series, strip_www: bool = True) -> pd.Series:
-    """Vectorized canonicalization: already-canonical fast path, tier-2
-    pandas-vectorized normalization, per-string residue."""
-    urls = urls.astype("object")
-    out = pd.Series(index=urls.index, dtype="object")
-    mask = _fast_canonical_mask(urls) if strip_www else np.zeros(len(urls), dtype=bool)
-    out[mask] = urls[mask]
-    rest_idx = urls.index[~mask]
-    if len(rest_idx) and strip_www:
-        tier2 = _canonicalize_tier2(urls[rest_idx])
-        done = tier2.notna()
-        out[rest_idx[done]] = tier2[done]
-        rest_idx = rest_idx[~done]
-    if len(rest_idx):
-        out[rest_idx] = [canonicalize_url(u, strip_www) for u in urls[rest_idx]]
-    return out
+    """Vectorized canonicalization via the numpy byte-matrix kernel
+    (ccspark.urlkernel), per-string scalar residue for rows the kernel
+    routes out.  The legacy pandas tiers (_fast_canonical_mask /
+    _canonicalize_tier2) remain for parity testing only."""
+    from . import urlkernel
+
+    canon, _hosts = urlkernel.canonicalize_batch_kernel(urls.astype("object"), strip_www)
+    return canon
+
+
+def canonicalize_batch_with_host(
+    urls: pd.Series, strip_www: bool = True
+) -> tuple[pd.Series, pd.Series]:
+    """Kernel canonicalization returning (canonical, host) — the host
+    byproduct lets fused fingerprint paths skip re-extraction."""
+    from . import urlkernel
+
+    return urlkernel.canonicalize_batch_kernel(urls.astype("object"), strip_www)
 
 
 _FAST_HOST_RE = re.compile(r"^[^:]*:/*(?:[^/\\?;#@]*@)?([^/?;#:]*)")
@@ -685,16 +688,18 @@ def _host_root_cached(host: str) -> tuple[str | None, str | None]:
     return host, root
 
 
-def urlfp_batch(canonical: pd.Series) -> pd.DataFrame:
+def urlfp_batch(canonical: pd.Series, hosts: pd.Series | None = None) -> pd.DataFrame:
     """URLFPV2 for canonical URLs → DataFrame(domain_hash, url_hash,
     root_domain_hash), nullable Int64 (null where fp is undefined).
 
     Host-level work (root-domain resolution + host fingerprints) runs
     once per *unique* host — under a zipfian crawl distribution that is
-    a small fraction of the rows."""
+    a small fraction of the rows.  Pass ``hosts`` (the canonicalization
+    kernel's byproduct) to skip the regex re-extraction."""
     vals = canonical.tolist()
     url_hash = hashing.fp64_utf16(vals)
-    hosts = canonical.str.extract(_FAST_HOST_RE, expand=False)
+    if hosts is None:
+        hosts = canonical.str.extract(_FAST_HOST_RE, expand=False)
     uniq = pd.unique(hosts.dropna())
     host_info: dict[str, tuple[int, int, bool]] = {}
     if len(uniq):

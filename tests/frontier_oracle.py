@@ -71,11 +71,16 @@ def replay(universe_n, n_hosts, seed, num_rounds, default_budget, round_ms, link
         novel = {k: v for k, v in frontier.items() if k not in seen}
         # group by host
         by_host: dict[str, list] = {}
+        excluded: set[tuple[int, int]] = set()
         for (dh, uh), (url, canon, pri, drnd) in novel.items():
             host, path = _host_path(canon)
             rule = robots.get(host)
             if rule is not None and any(path.startswith(p) for p in rule[0]):
-                continue  # disallowed: not scheduled (stays in frontier)
+                # disallowed: retired into the seen set (never scheduled,
+                # drains from the frontier) — mirrors run_round's
+                # seen_delta = scheduled ∪ disallowed
+                excluded.add((dh, uh))
+                continue
             if rule is not None:
                 delay, maxf = rule[1], rule[2]
                 base = int(maxf) if maxf is not None and not pd_isna(maxf) else default_budget
@@ -94,9 +99,10 @@ def replay(universe_n, n_hosts, seed, num_rounds, default_budget, round_ms, link
             for rank, (npri, dh, uh, url, canon, _b) in enumerate(rows[:budget], start=1):
                 scheduled.append((dh, uh, url, canon, -npri, host, rank))
                 trace.add((rnd, host, rank, canon))
-        # seen += scheduled
+        # seen += scheduled ∪ robots-excluded
         for dh, uh, *_ in scheduled:
             seen.add((dh, uh))
+        seen |= excluded
         # links
         link_urls, link_pris = [], []
         for dh, uh, url, canon, pri, host, rank in scheduled:
@@ -109,7 +115,9 @@ def replay(universe_n, n_hosts, seed, num_rounds, default_budget, round_ms, link
             link_pris.extend([pri * LINK_DECAY] * links_per_fetch)
         # next frontier: leftover novel (minus scheduled) ∪ identified links (minus seen)
         sched_keys = {(dh, uh) for dh, uh, *_ in scheduled}
-        leftover = {k: v for k, v in novel.items() if k not in sched_keys}
+        leftover = {
+            k: v for k, v in novel.items() if k not in sched_keys and k not in excluded
+        }
         links = _identify(link_urls, link_pris, rnd)
         links = {k: v for k, v in links.items() if k not in seen}
         merged = dict(leftover)

@@ -53,3 +53,80 @@ def test_robots_table_from_fetches(spark):
     assert list(out.loc["b.com", "disallow_prefixes"]) == ["/q"]
     assert pd.isna(out.loc["b.com", "crawl_delay_ms"])
     assert list(out.loc["c.com", "disallow_prefixes"]) == []
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 rules: Allow + '*'/'$' patterns, longest-match precedence
+# ---------------------------------------------------------------------------
+
+RFC_ROBOTS = """User-agent: *
+Disallow: /private/
+Allow: /private/public/
+Disallow: /*.pdf$
+Allow: /downloads/*.pdf$
+Disallow: /tmp*
+Crawl-delay: 1
+"""
+
+
+def test_parse_robots_rules_keeps_allow():
+    rules, delay = politeness.parse_robots_rules(RFC_ROBOTS)
+    assert ("/private/", False) in rules
+    assert ("/private/public/", True) in rules
+    assert ("/*.pdf$", False) in rules
+    assert delay == 1000
+
+
+def test_robots_decision_longest_match():
+    rules, _ = politeness.parse_robots_rules(RFC_ROBOTS)
+    d = politeness.robots_decision
+    assert d("/", rules) is True
+    assert d("/private/x", rules) is False
+    assert d("/private/public/x", rules) is True     # longer Allow wins
+    assert d("/doc.pdf", rules) is False              # wildcard + anchor
+    assert d("/doc.pdfx", rules) is True              # '$' anchors the end
+    assert d("/downloads/a.pdf", rules) is True       # longer Allow wins
+    assert d("/tmpfile", rules) is False              # trailing wildcard-free prefix
+    assert d("/elsewhere", rules) is True
+
+
+def test_robots_decision_tie_prefers_allow():
+    rules = [("/dir/", False), ("/dir/", True)]
+    assert politeness.robots_decision("/dir/x", rules) is True
+
+
+def test_parse_robots_rules_empty_disallow_matches_nothing():
+    rules, _ = politeness.parse_robots_rules("User-agent: *\nDisallow:\n")
+    assert rules == []
+    assert politeness.robots_decision("/anything", rules) is True
+
+
+def test_robots_allow_rfc_catalyst(spark):
+    from pyspark.sql import functions as F
+
+    robots_src = spark.createDataFrame(
+        [("a.com", RFC_ROBOTS), ("b.com", None)], "host string, robots_txt string"
+    )
+    rules = politeness.robots_rules_table(robots_src)
+    paths = [
+        ("a.com", "/private/x", False),
+        ("a.com", "/private/public/x", True),
+        ("a.com", "/doc.pdf", False),
+        ("a.com", "/downloads/a.pdf", True),
+        ("a.com", "/tmpfile", False),
+        ("a.com", "/ok", True),
+        ("b.com", "/anything", True),      # no rules -> allow
+        ("c.com", "/anything", True),      # unknown host -> allow
+    ]
+    df = spark.createDataFrame(
+        [(h, p) for h, p, _ in paths], "host string, path string"
+    )
+    out = politeness.robots_allow_rfc(df, rules)
+    got = {(r["host"], r["path"]) for r in out.select("host", "path").collect()}
+    for h, p, want in paths:
+        assert ((h, p) in got) == want, (h, p)
+    # scalar decision parity on the same cases
+    rules_scalar, _ = politeness.parse_robots_rules(RFC_ROBOTS)
+    for h, p, want in paths:
+        if h == "a.com":
+            assert politeness.robots_decision(p, rules_scalar) == want, p

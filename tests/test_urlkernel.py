@@ -1,0 +1,103 @@
+"""Byte-matrix canonicalization kernel: parity with the scalar path.
+
+The kernel (ccspark.urlkernel) must produce byte-identical output to
+urls.canonicalize_url for every input — rows it cannot handle must fall
+back to the scalar path, so ANY mismatch is a bug, not a coverage gap.
+"""
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ccspark import urlkernel as K
+from ccspark import urls as U
+
+SCHEMES = ["http://", "https://", "ftp://", "HTTP://", "hTtPs://"]
+HOSTS = [
+    "example.com", "www.example.com", "WWW.Example.COM", "sub.domain.co.uk",
+    "www.co.uk", "example.com.", "a-b_c.de", "xn--bcher-kva.example",
+    "192.168.1.1", "0x7f.0.0.1", "127.1", "300.1.2.3", "e.com",
+]
+PORTS = ["", ":80", ":443", ":8080", ":21", ":0", ":080", ":65536"]
+PATHS = [
+    "", "/", "/a/b", "/a b/c", "/a/../b", "/./x", "/A/B.Html", "/p;x=1",
+    "/p;jsessionid=abcdef0123456789abcdef0123456789",
+    "/x%41y", "/x\\y", "/tail/", "/dot.", "/..", "/x?q=1&r=2", "/x?q=%20",
+    "/x#frag", "/PHPSESSID=0123456789abcdef0123456789abcdef",
+    "/idx?PHPSESSID=0123456789abcdef0123456789abcdef",
+    "/a?b;c", "/~user/(v)!x'", "/{brace}|pipe", "/x?", "/?", "/x;",
+]
+EXTRA = [
+    None, "", "not a url", "mailto:x@y", "http://", "http:///x",
+    "http://user:pw@h.com/x", "http://h.com:/x", "http://h.com:0080/x",
+    "http://bücher.example/x", "http://h.com", "http://h.com?q=1",
+    "http://h..com/x", "http://h.com../x", "http://h.com:80", "http://h.com:80?",
+]
+
+
+def _all_cases():
+    cases = []
+    for s in SCHEMES:
+        for h in HOSTS:
+            for p in PORTS:
+                for pa in PATHS:
+                    cases.append(s + h + p + pa)
+    return cases + EXTRA
+
+
+def test_kernel_parity_structured():
+    cases = _all_cases()
+    canon, host = K.canonicalize_batch_kernel(pd.Series(cases, dtype=object))
+    for i, u in enumerate(cases):
+        want = U.canonicalize_url(u)
+        assert canon.iloc[i] == want, (u, want, canon.iloc[i])
+        want_host = U.fast_get_host(want) if want else None
+        assert host.iloc[i] == want_host, (u, want_host, host.iloc[i])
+
+
+def test_kernel_parity_random_fuzz():
+    rnd = random.Random(7)
+    chars = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        "-._~:/?#[]@!$&'()*+,;=%\\ {}|^<>\"`\x01ü漢"
+    )
+    cases = []
+    for _ in range(8000):
+        n = rnd.randrange(0, 60)
+        s = "".join(rnd.choice(chars) for _ in range(n))
+        prefix = rnd.choice(["http://", "https://", "ftp://", "", "hxxp://", "HTTP://ex.com"])
+        cases.append(prefix + s)
+    canon, _ = K.canonicalize_batch_kernel(pd.Series(cases, dtype=object))
+    for i, u in enumerate(cases):
+        assert canon.iloc[i] == U.canonicalize_url(u), repr(u)
+
+
+def test_kernel_matches_legacy_tiers():
+    # the legacy pandas tiers must agree with the kernel on their own turf
+    ids = np.arange(2000)
+    src = np.char.add("src", (ids % 20).astype(str))
+    url = np.where(ids % 3 == 0, "http://www.", "http://")
+    url = np.char.add(url, src)
+    url = np.char.add(url, ".example.com")
+    url = np.char.add(url, np.where(ids % 5 == 0, ":80", ""))
+    url = np.char.add(url, "/docs/")
+    url = np.char.add(url, ids.astype(str))
+    url = np.char.add(
+        url, np.where(ids % 7 == 0, ";jsessionid=abcdef0123456789abcdef0123456789", "")
+    )
+    s = pd.Series(url.astype(object))
+    tier2 = U._canonicalize_tier2(s)
+    canon, _ = K.canonicalize_batch_kernel(s)
+    both = tier2.notna()
+    assert both.any()
+    assert tier2[both].tolist() == canon[both].tolist()
+
+
+def test_kernel_host_byproduct_matches_urlfp_extraction():
+    cases = [c for c in _all_cases() if c]
+    canon, host = K.canonicalize_batch_kernel(pd.Series(cases, dtype=object))
+    fp_with = U.urlfp_batch(canon, hosts=host)
+    fp_without = U.urlfp_batch(canon)
+    pd.testing.assert_frame_equal(fp_with, fp_without)
