@@ -12,6 +12,16 @@ gives the same guarantees on plain storage so the engine runs anywhere:
   of the per-partition lineage rows, SURVEY.md §7 step 7);
 * resume = read manifest, load the tables of the last committed round,
   continue — a killed job never observes a half-written round.
+
+DEPLOYMENT CONSTRAINT: manifest/cleanup operations use the LOCAL
+filesystem (os.path / shutil / os.replace) while table data goes through
+Spark writers, so ``root`` must be a path both resolve identically —
+i.e. local disk or a POSIX-mounted shared filesystem (NFS/Lustre/EFS —
+the single-writer driver is the only manifest mutator, so POSIX rename
+atomicity suffices).  For HDFS/S3 roots, reroute the manifest and
+directory operations through the Hadoop FileSystem API
+(spark._jvm.org.apache.hadoop.fs) or an Iceberg catalog; the
+write/commit protocol itself is storage-agnostic.
 """
 
 from __future__ import annotations

@@ -101,6 +101,14 @@ def simhash64(s: pd.Series) -> pd.Series:
     return pd.Series(hashing.simhash64_batch(s.tolist()), index=s.index)
 
 
+@pandas_udf(LongType())
+def simhash64_bytes(s: pd.Series) -> pd.Series:
+    """64-bit simhash of a binary column via 8-byte-gram shingles
+    (SimHash.computeOptimizedSimHashForBytes, golden-gated against the
+    compiled reference incl. its sign-extension quirk)."""
+    return pd.Series(hashing.simhash64_bytes_batch(s.tolist()), index=s.index)
+
+
 # ---------------------------------------------------------------------------
 # Column expressions (pure Catalyst — no Python)
 # ---------------------------------------------------------------------------

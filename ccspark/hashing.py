@@ -302,7 +302,45 @@ def simhash64_batch(texts) -> np.ndarray:
     return np.fromiter((simhash64(t) for t in texts), dtype=np.int64, count=len(texts))
 
 
+def simhash64_bytes(data: bytes | None) -> int:
+    """64-bit simhash of a byte payload via unique 8-byte-gram shingles —
+    port of SimHash.computeOptimizedSimHashForBytes (SimHash.java:107-171)
+    including Java's sign-extension quirk: ``shingle |= data[pos]``
+    sign-extends each byte to 64 bits before OR-ing, so a negative byte
+    sets every bit above it in the packed shingle."""
+    if not data or len(data) < 8:
+        return 0
+    b = np.frombuffer(data, dtype=np.int8)
+    n = len(b) - 7
+    with np.errstate(over="ignore"):
+        sh = b[:n].astype(np.int64)
+        for j in range(1, 8):
+            sh = (sh << np.int64(8)) | b[j : j + n].astype(np.int64)
+    grams = np.unique(sh).view(np.uint64)
+    hashes = fp64_uint64s(grams).view(np.uint64)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    out = 0
+    for bpos in np.nonzero(votes > 0)[0]:
+        out |= 1 << int(bpos)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def simhash64_bytes_batch(bufs) -> np.ndarray:
+    """simhash64_bytes over a sequence of byte payloads → int64 array."""
+    return np.fromiter((simhash64_bytes(x) for x in bufs), dtype=np.int64, count=len(bufs))
+
+
 def hamming_distance(a: pd.Series | np.ndarray, b: pd.Series | np.ndarray) -> np.ndarray:
-    """Vectorized popcount of xor (SimHash.hammingDistance)."""
+    """Vectorized popcount of xor (SimHash.hammingDistance) — SWAR
+    bit-twiddling, no per-row Python."""
     x = (np.asarray(a, dtype=np.int64).view(np.uint64)) ^ (np.asarray(b, dtype=np.int64).view(np.uint64))
-    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int32)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    with np.errstate(over="ignore"):
+        return ((x * h01) >> np.uint64(56)).astype(np.int32)

@@ -43,16 +43,26 @@ from . import hashing
 # map[right_side] += {left_side}; single-label line → map[line] += {""})
 # ---------------------------------------------------------------------------
 
-_PSL_PATH = __file__.rsplit("/", 1)[0] + "/data/effective_tld_list.txt"
 _tld_map: dict[str, set[str]] | None = None
+
+
+def _read_psl_text() -> str:
+    """PSL data via importlib.resources — works from a filesystem
+    checkout AND from ccspark.zip on a --py-files executor."""
+    from importlib import resources
+
+    return (
+        resources.files("ccspark.data")
+        .joinpath("effective_tld_list.txt")
+        .read_text(encoding="utf-8")
+    )
 
 
 def _psl() -> dict[str, set[str]]:
     global _tld_map
     if _tld_map is None:
         m: dict[str, set[str]] = {}
-        with open(_PSL_PATH, encoding="utf-8") as fh:
-            for line in fh:
+        for line in _read_psl_text().splitlines():
                 line = line.rstrip("\n")
                 if line.startswith("//") or not line:
                     continue

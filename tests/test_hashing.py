@@ -138,3 +138,77 @@ def test_hamming_distance():
     d = H.hamming_distance(a, b)
     assert d[0] == 0 and d[1] == 64
     assert 0 < d[2] <= 64
+
+
+# ---------------------------------------------------------------------------
+# SimHash byte-gram variant (SimHash.computeOptimizedSimHashForBytes)
+# golden vectors from the compiled reference (.scratch/golden/GoldenSimBytes)
+# ---------------------------------------------------------------------------
+
+import random as _random
+
+SIMBYTES_GOLDEN = [
+    (0, 0),
+    (3, 0),
+    (8, -1957060269096707870),
+    (9, 577169538013986835),
+    (20, -1083687871794016415),
+    (64, 2488626553362086124),
+    (100, 6404424388718635568),
+    (255, -3417980843398890563),
+    (256, 415928487207929100),
+    (1000, 8237061031129554136),
+    (4096, -1926422448258440630),
+    (5000, 2102127716431777682),
+]
+
+
+def _java_random_bytes(seed: int, sizes):
+    """java.util.Random(seed).nextBytes replayed exactly."""
+    class JR:
+        def __init__(self, seed):
+            self.s = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+
+        def _next(self, bits):
+            self.s = (self.s * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+            v = self.s >> (48 - bits)
+            return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+        def next_bytes(self, n):
+            out = bytearray(n)
+            i = 0
+            while i < n:
+                rnd = self._next(32)
+                for _ in range(min(4, n - i)):
+                    out[i] = rnd & 0xFF
+                    rnd >>= 8
+                    i += 1
+            return bytes(out)
+
+    jr = JR(seed)
+    return [jr.next_bytes(n) for n in sizes]
+
+
+def test_simhash_bytes_golden():
+    sizes = [n for n, _ in SIMBYTES_GOLDEN]
+    payloads = _java_random_bytes(11, sizes)
+    for (n, want), data in zip(SIMBYTES_GOLDEN, payloads):
+        assert H.simhash64_bytes(data) == want, n
+    txt = b"the quick brown fox jumps over the lazy dog repeatedly and often"
+    assert H.simhash64_bytes(txt) == 8551673559024904379
+
+
+def test_simhash_bytes_edge():
+    assert H.simhash64_bytes(None) == 0
+    assert H.simhash64_bytes(b"") == 0
+    assert H.simhash64_bytes(b"1234567") == 0  # < 8 bytes
+
+
+def test_hamming_distance_vectorized():
+    import numpy as np
+
+    a = np.array([0, -1, 0x0F0F0F0F0F0F0F0F, 123456789], dtype=np.int64)
+    b = np.array([0, 0, 0, 0], dtype=np.int64)
+    got = H.hamming_distance(a, b).tolist()
+    want = [bin((int(x) ^ 0) & (2**64 - 1)).count("1") for x in a.view(np.uint64)]
+    assert got == want
