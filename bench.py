@@ -68,8 +68,11 @@ def run_queries() -> dict:
     spark = build_session("ccspark-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    # warm the JVM + python workers once (not timed)
+    # warm the JVM + the Arrow python workers once (not timed) — steady
+    # state is what the throughput claim is about; cold spin-up of 32
+    # python workers (~2s) is a one-off per executor, not per query
     qs["q_histogram"](spark, SF_DIR).count()
+    qs["q_urlfp_dedup"](spark, SF_DIR).count()
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)

@@ -130,9 +130,7 @@ class CrawlFrontier:
 
     def bootstrap(self, seeds: DataFrame) -> None:
         """Round 0: establish the frontier from the seed list."""
-        frontier = self._identify(seeds, 0).repartition(
-            self.cfg.num_partitions, "domain_hash"
-        )
+        frontier = self._identify(seeds, 0)
         self.ckpt.write(frontier, "frontier", 0)
         empty_seen = self.spark.createDataFrame([], "domain_hash long, url_hash long")
         self.ckpt.write(empty_seen, "seen", 0)
@@ -195,10 +193,22 @@ class CrawlFrontier:
             ckpt.commit_round(round_no, {"empty": "true"})
             return {"round": round_no, "candidates": 0, "scheduled": 0, "new_links": 0}
 
-        # novelty gate: bloom/cuckoo pre-screen + exact confirm
+        # novelty gate: bloom/cuckoo pre-screen + exact confirm.  With a
+        # fixed-capacity bloom the total filter state size is known
+        # up-front, so small/mid crawls take the shuffle-free broadcast
+        # probe and only 10^10-scale state cogroups.
+        bloom_bytes = (
+            cfg.num_partitions
+            * seenset.bitset_size(cfg.capacity_per_partition, cfg.buckets_per_element)
+            // 8
+            if cfg.filter_kind == "bloom"
+            else None
+        )
         obs_novel = Observation(f"novel_{round_no}")
         novel = (
-            seenset.filter_new(frontier, seen, filters, cfg.num_partitions)
+            seenset.filter_new(
+                frontier, seen, filters, cfg.num_partitions, broadcast_bytes=bloom_bytes
+            )
             .observe(obs_novel, F.count(F.lit(1)).alias("n"))
             .cache()
         )
@@ -275,9 +285,12 @@ class CrawlFrontier:
                 F.min("discovered_round").alias("discovered_round"),
             )
             .select(*FRONTIER_COLS)
-            .repartition(cfg.num_partitions, "domain_hash")
             .observe(obs_frontier, F.count(F.lit(1)).alias("n"))
         )
+        # NOTE: no repartition after the groupBy — the agg already
+        # distributed rows by (domain_hash, url_hash) and every consumer
+        # (probe, exact confirm, lineage) re-keys itself; a second full
+        # shuffle bought nothing.
         ckpt.write(next_frontier, "frontier", round_no)  # action 3
         _mark("frontier_write")
 

@@ -311,18 +311,71 @@ def exact_new_urls(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     )
 
 
+def probe_filters_broadcast(candidates: DataFrame, filters: DataFrame) -> DataFrame:
+    """Shuffle-free probe: ship the filter blobs to every task and add
+    ``maybe_seen`` in a pure map stage.
+
+    Correct only while the TOTAL filter state fits comfortably in
+    executor memory — the frontier picks this path when
+    P × bitset_bytes is under its broadcast threshold (small/mid crawls,
+    local bench); at 10^10-key scale the state is tens of GB and the
+    cogrouped ``probe_filters`` is the only sane plan."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    rows = filters.collect()
+    blobs = {
+        int(r["partition_id"]): (r["kind"], int(r["hash_count"]), int(r["num_buckets"]), r["bits"])
+        for r in rows
+    }
+    num_partitions = max(blobs) + 1 if blobs else 1
+    sc = candidates.sparkSession.sparkContext
+    b = sc.broadcast(blobs)
+
+    out_schema = StructType(list(candidates.schema.fields) + [StructField("maybe_seen", BooleanType())])
+
+    def _probe(batches):
+        table = b.value
+        for pdf in batches:
+            keys = pdf["url_hash"].to_numpy(dtype=np.int64)
+            pids = np.mod(pdf["domain_hash"].to_numpy(dtype=np.int64), num_partitions)
+            maybe = np.zeros(len(pdf), dtype=bool)
+            for pid in np.unique(pids):
+                blob = table.get(int(pid))
+                if blob is None:
+                    continue
+                kind, k, m, bits = blob
+                sel = pids == pid
+                if kind == "bloom":
+                    maybe[sel] = bloom_probe(keys[sel], k, m, bits)
+                else:
+                    maybe[sel] = cuckoo_probe(keys[sel], k, m, bits)
+            out = pdf.copy()
+            out["maybe_seen"] = maybe
+            yield out
+
+    return candidates.mapInPandas(_probe, schema=out_schema)
+
+
 def filter_new(
     candidates: DataFrame,
     seen: DataFrame,
     filters: DataFrame,
     num_partitions: int,
+    broadcast_bytes: int | None = None,
+    broadcast_threshold: int = 128 << 20,
 ) -> DataFrame:
     """Scalable two-stage novelty filter: bloom/cuckoo pre-screen, exact
     confirm only for the (few) maybe-seen candidates.
 
     definitely-new (≈90%+ of a growing crawl) skips the join entirely —
-    that is the point of the pre-filter at 10^10 keys."""
-    probed = probe_filters(candidates, filters, num_partitions)
+    that is the point of the pre-filter at 10^10 keys.  When the caller
+    knows the total filter state is small (``broadcast_bytes`` under the
+    threshold) the probe runs as a broadcast map stage instead of the
+    cogroup — zero shuffles on the candidate side."""
+    if broadcast_bytes is not None and broadcast_bytes <= broadcast_threshold:
+        probed = probe_filters_broadcast(candidates, filters)
+    else:
+        probed = probe_filters(candidates, filters, num_partitions)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = exact_new_urls(suspect, seen)
