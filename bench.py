@@ -169,11 +169,19 @@ def main() -> int:
             xs = sorted(t["urls_per_sec"] for t in trials[n])
             return xs[len(xs) // 2]
         eff = round((med(hi) / med(lo)) / (hi / lo), 3)
+        # per-trial pairing (lo/hi run back to back) cancels the shared
+        # sandbox's load drift, which exceeds the level effect itself
+        paired = [
+            round((h["urls_per_sec"] / l["urls_per_sec"]) / (hi / lo), 3)
+            for l, h in zip(trials[lo], trials[hi])
+        ]
         print(json.dumps({
             "pair": [lo, hi],
             "median_urls_per_sec": {f"local[{lo}]": med(lo), f"local[{hi}]": med(hi)},
             "trials": {str(k): [t["urls_per_sec"] for t in v] for k, v in trials.items()},
-            "efficiency": eff,
+            "efficiency_of_medians": eff,
+            "paired_efficiencies": paired,
+            "median_paired_efficiency": sorted(paired)[len(paired) // 2],
         }))
         return 0
 

@@ -134,12 +134,18 @@ class CrawlFrontier:
         self.ckpt.write(frontier, "frontier", 0)
         empty_seen = self.spark.createDataFrame([], "domain_hash long, url_hash long")
         self.ckpt.write(empty_seen, "seen", 0)
-        filters = seenset.build_filters(
-            empty_seen,
-            self.cfg.num_partitions,
-            self.cfg.filter_kind,
-            self.cfg.buckets_per_element,
-            capacity=self.cfg.capacity_per_partition if self.cfg.filter_kind == "bloom" else None,
+        # empty filter table constructed driver-side (deterministic; no
+        # zero-row build job)
+        filters = self.spark.createDataFrame(
+            seenset.empty_filters_pdf(
+                self.cfg.num_partitions,
+                self.cfg.filter_kind,
+                self.cfg.buckets_per_element,
+                capacity=self.cfg.capacity_per_partition
+                if self.cfg.filter_kind == "bloom"
+                else None,
+            ),
+            schema=seenset.FILTER_SCHEMA,
         )
         self.ckpt.write(filters, "filters", 0)
         n0 = frontier.count()
@@ -298,14 +304,15 @@ class CrawlFrontier:
         # identities, then bitwise-OR with the previous filter — never a
         # full-seen rescan); cuckoo → rebuild (no cheap union).
         if cfg.filter_kind == "bloom":
-            delta_filters = seenset.build_filters(
+            # fused delta-build + OR-merge: one cogrouped pass instead of
+            # build_filters + merge_filters (two shuffles)
+            filters_new = seenset.augment_filters(
+                filters,
                 seen_delta,
                 cfg.num_partitions,
-                "bloom",
                 cfg.buckets_per_element,
                 capacity=cfg.capacity_per_partition,
             )
-            filters_new = seenset.merge_filters(filters, delta_filters)
         else:
             filters_new = seenset.build_filters(
                 seen_new, cfg.num_partitions, "cuckoo", cfg.buckets_per_element

@@ -80,14 +80,25 @@ def _extend_byte(f: np.ndarray, v: np.ndarray) -> np.ndarray:
 def _utf16_matrix(strings) -> tuple[np.ndarray, np.ndarray]:
     """Encode a sequence of python strings to a padded uint16 code-unit
     matrix plus a length vector (lengths in UTF-16 code units, matching
-    Java String.charAt iteration)."""
+    Java String.charAt iteration).
+
+    Single concatenated encode + one vectorized scatter — no per-row
+    matrix fill loop."""
+    n = len(strings)
+    if n == 0:
+        return np.zeros((0, 1), dtype=np.uint16), np.zeros(0, dtype=np.int64)
     bufs = [("" if s is None else s).encode("utf-16-be") for s in strings]
-    lens = np.fromiter((len(b) >> 1 for b in bufs), dtype=np.int64, count=len(bufs))
-    maxlen = int(lens.max()) if len(lens) else 0
-    mat = np.zeros((len(bufs), max(maxlen, 1)), dtype=np.uint16)
-    for i, b in enumerate(bufs):
-        if b:
-            mat[i, : lens[i]] = np.frombuffer(b, dtype=">u2")
+    lens = np.fromiter((len(b) >> 1 for b in bufs), dtype=np.int64, count=n)
+    maxlen = int(lens.max())
+    mat = np.zeros((n, max(maxlen, 1)), dtype=np.uint16)
+    total = int(lens.sum())
+    if total:
+        flat = np.frombuffer(b"".join(bufs), dtype=">u2").astype(np.uint16)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # dest index of unit k of row i = i*maxlen + (k - starts[i])
+        rows_off = np.repeat(np.arange(n, dtype=np.int64) * maxlen - starts, lens)
+        mat.ravel()[np.arange(total, dtype=np.int64) + rows_off] = flat
     return mat, lens
 
 

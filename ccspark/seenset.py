@@ -278,6 +278,81 @@ def probe_filters(candidates: DataFrame, filters: DataFrame, num_partitions: int
     )
 
 
+def augment_filters(
+    old: DataFrame,
+    delta_keys: DataFrame,
+    num_partitions: int,
+    buckets_per_element: int = 10,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Fused bloom delta-build + OR-merge in ONE cogrouped pass: the new
+    keys' buckets are OR-ed straight into the previous filter blob per
+    partition — replaces build_filters(delta)+merge_filters(old, delta)
+    (two shuffles + an extra python stage) with a single cogroup."""
+    keyed = delta_keys.withColumn(
+        "partition_id", F.pmod(F.col("domain_hash"), F.lit(num_partitions)).cast("int")
+    ).select("partition_id", "url_hash")
+
+    k_default = compute_best_k(buckets_per_element)
+    m_default = bitset_size(capacity, buckets_per_element) if capacity else None
+
+    def _augment(key, keys_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        keys = np.unique(keys_pdf["url_hash"].to_numpy(dtype=np.int64)) if len(keys_pdf) else np.array([], dtype=np.int64)
+        if len(filt_pdf):
+            row = filt_pdf.iloc[0]
+            k = int(row["hash_count"])
+            m = int(row["num_buckets"])
+            words = np.frombuffer(row["bits"], dtype=np.uint64).copy()
+            n_prev = int(row["n_keys"])
+        else:
+            assert m_default is not None, "augment_filters without prior filter needs capacity"
+            k, m = k_default, m_default
+            words = np.zeros(m // 64, dtype=np.uint64)
+            n_prev = 0
+        if len(keys):
+            idx = hashing.bloom_buckets_long(keys, k, m).ravel()
+            np.bitwise_or.at(words, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+        return pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "kind": ["bloom"],
+                "hash_count": [k],
+                "num_buckets": [m],
+                "n_keys": [n_prev + len(keys)],  # upper bound (dups unknown)
+                "bits": [words.tobytes()],
+            }
+        )
+
+    return (
+        keyed.groupBy("partition_id")
+        .cogroup(old.groupBy("partition_id"))
+        .applyInPandas(_augment, schema=FILTER_SCHEMA)
+    )
+
+
+def empty_filters_pdf(
+    num_partitions: int, kind: str = "bloom", buckets_per_element: int = 10, capacity: int | None = None
+) -> pd.DataFrame:
+    """Deterministic empty filter table built driver-side (no Spark job)
+    — bootstrap uses this instead of running a build over zero rows."""
+    rows = []
+    for pid in range(num_partitions):
+        if kind == "bloom":
+            if capacity is not None:
+                k = compute_best_k(buckets_per_element)
+                m = bitset_size(capacity, buckets_per_element)
+                bits = bytes(m // 8)
+            else:
+                k, m, bits = bloom_build(np.array([], dtype=np.int64), buckets_per_element)
+        else:
+            k, m, bits = cuckoo_build(np.array([], dtype=np.int64))
+        rows.append((pid, kind, k, m, 0, bits))
+    return pd.DataFrame(
+        rows, columns=["partition_id", "kind", "hash_count", "num_buckets", "n_keys", "bits"]
+    )
+
+
 def merge_filters(old: DataFrame, delta: DataFrame) -> DataFrame:
     """Bitwise-OR union of equally-sized bloom filters per partition.
 

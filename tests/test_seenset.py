@@ -81,3 +81,42 @@ def test_probe_missing_partition_defaults_unseen(spark):
     )
     probed = seenset.probe_filters(cand, filters, 4).toPandas()
     assert (~probed["maybe_seen"]).all()
+
+
+def test_augment_filters_equals_build_plus_merge(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from ccspark import seenset
+
+    P, cap = 4, 4096
+    base_keys = spark.range(0, 3000).select(
+        (F.col("id") * 37 + 5).alias("domain_hash"), (F.col("id") * 7919 + 13).alias("url_hash")
+    )
+    delta_keys = spark.range(3000, 5000).select(
+        (F.col("id") * 37 + 5).alias("domain_hash"), (F.col("id") * 7919 + 13).alias("url_hash")
+    )
+    base = seenset.build_filters(base_keys, P, "bloom", capacity=cap)
+    via_merge = seenset.merge_filters(
+        base, seenset.build_filters(delta_keys, P, "bloom", capacity=cap)
+    )
+    via_augment = seenset.augment_filters(base, delta_keys, P, capacity=cap)
+    a = {r["partition_id"]: bytes(r["bits"]) for r in via_merge.collect()}
+    b = {r["partition_id"]: bytes(r["bits"]) for r in via_augment.collect()}
+    assert a == b
+
+
+def test_empty_filters_pdf_matches_zero_build(spark):
+    from ccspark import seenset
+
+    pdf = seenset.empty_filters_pdf(4, "bloom", 10, capacity=4096)
+    assert len(pdf) == 4
+    assert (pdf["n_keys"] == 0).all()
+    k, m, bits = seenset.bloom_build(__import__("numpy").array([], dtype="int64"), 10)
+    assert (pdf["hash_count"] == seenset.compute_best_k(10)).all()
+    assert all(b == bytes(len(b)) for b in pdf["bits"])
+    # probe over an empty filter says "not seen" for everything
+    import numpy as np
+    row = pdf.iloc[0]
+    assert not seenset.bloom_probe(
+        np.array([1, 2, 3], dtype=np.int64), int(row["hash_count"]), int(row["num_buckets"]), row["bits"]
+    ).any()
