@@ -338,6 +338,49 @@ def q_simhash_near_dup(spark, sf_dir):
     return dedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=10)
 
 
+def q_simhash_dup(spark, sf_dir):
+    """SimHash banding + exact verify, oracle-checkable: planted exact
+    copies (doc_id+20000 for doc_id<50) have hamming-0 signatures, which
+    the 4x16-bit banding finds with guaranteed recall; the md5 verify
+    stage then keeps exactly the identical-text pairs (simhash equality
+    alone is not text equality)."""
+    from ccspark import dedup
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 500").select("doc_id", "text")
+    planted = docs.filter("doc_id < 50").select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    u = docs.unionByName(planted)
+    cands = dedup.simhash_near_dups(u, "doc_id", "text", max_hamming=0)
+    ha = u.select(F.col("doc_id").alias("id_a"), F.md5("text").alias("md5_a"))
+    hb = u.select(F.col("doc_id").alias("id_b"), F.md5("text").alias("md5_b"))
+    return (
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
+        .filter(F.col("md5_a") == F.col("md5_b"))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def q_ann_ivf_full(spark, sf_dir):
+    """IVF ANN with nprobe == n_cells (exhaustive probe): exercises the
+    cell-routing machinery end to end while being provably exact — the
+    result must equal the brute-force cosine top-k, which DuckDB can
+    compute."""
+    import numpy as np
+
+    from ccspark import ann
+
+    emb = _load(spark, sf_dir, "embeddings")
+    sample = emb.orderBy("vec_id").limit(1000)
+    cents = ann.fit_centroids(sample, "embedding", n_cells=8, seed=5, sample=1000, iters=3)
+    indexed = ann.assign_cells(emb, "embedding", cents)
+    q = np.array(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"], dtype=np.float64)
+    return ann.ivf_topk(
+        indexed.filter("vec_id <> 0"), "embedding", "vec_id", cents, q, k=10, nprobe=8
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Winnowing fingerprint counts per document (rows-only check)."""
     from ccspark import textops
@@ -552,8 +595,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_near_dup": q_simhash_near_dup,
+        "q_simhash_dup": q_simhash_dup,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_ivf_full": q_ann_ivf_full,
         "q_embed_near_dup": q_embed_near_dup,
         "q_media_features": q_media_features,
         "q_codecs": q_codecs,
@@ -688,6 +733,16 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": (
             "SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS est_jaccard "
             "FROM documents WHERE doc_id < 50"
+        ),
+        "q_simhash_dup": (
+            "SELECT doc_id AS id_a, doc_id + 20000 AS id_b, 0 AS hamming "
+            "FROM documents WHERE doc_id < 50"
+        ),
+        "q_ann_ivf_full": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.qe AS DOUBLE[])) AS DOUBLE), 4) AS sim "
+            "FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10"
         ),
         "q_embed_near_dup": (
             "SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine "
