@@ -247,3 +247,32 @@ def test_urlfp_batch():
     assert fp["domain_hash"][1] == -5746976342330023037
     assert fp["root_domain_hash"][0] == fp["domain_hash"][0]
     assert not fp["valid"][2]
+
+
+IDN_CASES = [
+    # IDNA2003 semantics — matching the reference's ICU uidna_IDNToASCII
+    # vintage (src/native/src/libGoogleURL uses ICU IDNToASCII, the
+    # IDNA2003 API): case fold, soft-hyphen mapped away, sharp-s -> ss,
+    # symbols allowed (IDNA2008 would reject the snowman)
+    ("http://bücher.example/x", "http://xn--bcher-kva.example/x"),
+    ("http://BÜCHER.example/x", "http://xn--bcher-kva.example/x"),
+    ("http://xn--bcher-kva.example/x", "http://xn--bcher-kva.example/x"),
+    ("http://XN--BCHER-KVA.example/x", "http://xn--bcher-kva.example/x"),
+    ("http://☃.example/x", "http://xn--n3h.example/x"),
+    ("http://ex­ample.com/x", "http://example.com/x"),
+    ("http://straße.example/x", "http://strasse.example/x"),
+    ("http://日本語.example/x", "http://xn--wgv71a119e.example/x"),
+    ("http://xn--invalid-punycode-!!.example/x", None),
+]
+
+
+@pytest.mark.parametrize("src,expected", IDN_CASES)
+def test_idn_idna2003_semantics(src, expected):
+    assert urls.canonicalize_url(src) == expected
+
+
+def test_idn_batch_parity():
+    s = pd.Series([c for c, _ in IDN_CASES])
+    batch = urls.canonicalize_batch(s)
+    for i, (_, want) in enumerate(IDN_CASES):
+        assert batch.iloc[i] == want
