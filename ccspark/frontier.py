@@ -274,7 +274,15 @@ class CrawlFrontier:
         links_raw = scheduled.select("url_hash", "priority").mapInPandas(
             _expand, schema="url string, priority double"
         )
-        links = self._identify(links_raw, round_no)
+        # identity columns WITHOUT the per-links groupBy — the
+        # next-frontier aggregation below dedups (min url / max priority)
+        # over leftover ∪ links in ONE shuffle instead of two
+        links = (
+            CF.with_canonical_urlfp(links_raw)
+            .filter("url_valid")
+            .withColumn("discovered_round", F.lit(round_no))
+            .select(*FRONTIER_COLS)
+        )
 
         # next frontier: unscheduled novel + unseen links, max-priority merge
         leftover = novel.join(seen_delta, ["domain_hash", "url_hash"], "left_anti").select(*FRONTIER_COLS)
