@@ -435,6 +435,46 @@ def q_media_features(spark, sf_dir):
     return feats.select("doc_id", "n_bytes", "width", "height", F.size("features").alias("n_features"))
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL image decode end to end: synthesize a constant-color PNG per
+    document (dimensions and color derived from doc_id), run the actual
+    stdlib PNG decoder through the multimodal feature extractor, and
+    emit (width, height, mean channels) — all exactly predictable in
+    SQL, so the decode is oracle-gated, not smoke-tested."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ccspark import media, multimodal
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 200").select("doc_id")
+
+    def _mk_png(doc_id):
+        import numpy as np
+
+        out = []
+        for did in doc_id:
+            d = int(did)
+            w, h = 4 + d % 8, 4 + (d // 8) % 8
+            img = np.zeros((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = d % 256
+            img[:, :, 1] = (d * 7) % 256
+            img[:, :, 2] = (d * 13) % 256
+            out.append(media.encode_png(img))
+        return pd.Series(out, index=doc_id.index)
+
+    mk_png = pandas_udf(_mk_png, "binary")
+    payloads = docs.withColumn("payload", mk_png(F.col("doc_id")))
+    feats = multimodal.extract_features(payloads, "doc_id", "payload")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("features", 1), 4).alias("mean_r"),
+        F.round(F.element_at("features", 2), 4).alias("mean_g"),
+        F.round(F.element_at("features", 3), 4).alias("mean_b"),
+    )
+
+
 def q_codecs(spark, sf_dir):
     """P14 codec surface: md5/sha256/base64/hex via built-ins."""
     from ccspark import scalar_ops
@@ -601,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_full": q_ann_ivf_full,
         "q_embed_near_dup": q_embed_near_dup,
         "q_media_features": q_media_features,
+        "q_media_decode": q_media_decode,
         "q_codecs": q_codecs,
         "q_ip_roundtrip": q_ip_roundtrip,
         "q_mime_filter": q_mime_filter,
@@ -747,6 +788,14 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_near_dup": (
             "SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine "
             "FROM embeddings WHERE vec_id < 50"
+        ),
+        "q_media_decode": (
+            "SELECT doc_id, CAST(4 + doc_id % 8 AS INT) AS width, "
+            "CAST(4 + (doc_id // 8) % 8 AS INT) AS height, "
+            "CAST(doc_id % 256 AS DOUBLE) AS mean_r, "
+            "CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g, "
+            "CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b "
+            "FROM documents WHERE doc_id < 200"
         ),
         "q_charset_decode": (
             "SELECT doc_id, ['utf-8', 'windows-1252', 'iso-8859-1'][CAST(doc_id % 3 AS INT) + 1] AS charset, "

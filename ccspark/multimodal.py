@@ -1,14 +1,14 @@
 """Multimodal column handling: opaque binary payloads + typed metadata.
 
 Images/audio/video ride through the engine as ``binary`` columns with a
-metadata struct; the Spark-side plumbing (schema, partition sizing,
-Arrow batch shape, mapInPandas signatures) is real and tested, while the
-codec-dependent decode step is stubbed: this container ships no
-image/audio libraries, so ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``deterministic_fake=True``, which
-substitutes a seeded, fully deterministic byte-statistics "decode" with
-the same output schema — letting the downstream pipeline (resize /
-feature-extract / frame-sample shapes) run end-to-end.
+metadata struct.  The decode stage is REAL for PNG and 16-bit-PCM WAV —
+pure-stdlib codecs in ccspark.media (zlib + filter reconstruction /
+RIFF), no external image libraries needed.  Formats without a stdlib
+decoder (JPEG, video) remain honestly stubbed: ``extract_features``
+raises ``NotImplementedError`` for them unless ``deterministic_fake``
+substitutes a seeded byte-statistics "decode" with the same output
+schema, so the downstream plumbing (schema, partition sizing, Arrow
+batch shape) still runs end-to-end for every format.
 """
 
 from __future__ import annotations
@@ -62,10 +62,19 @@ def extract_features(
     stubbed (see module docstring)."""
 
     def _decode(payload: bytes):
+        from . import media
+
+        kind = media.sniff_media(payload)
+        if kind == "image/png":
+            w, h, _c, img = media.decode_png(payload)
+            return w, h, np.asarray(media.image_features(img))
+        if kind == "audio/wav":
+            rate, _nch, samples = media.decode_wav(payload)
+            return 0, 0, np.asarray(media.audio_features(rate, samples))
         if not deterministic_fake:
             raise NotImplementedError(
-                "media decode requires an image/audio codec library; "
-                "run with deterministic_fake=True for the plumbing path"
+                f"no stdlib decoder for {kind}; PNG/WAV decode is real, "
+                "run with deterministic_fake=True for other formats"
             )
         return _fake_decode(payload)
 

@@ -1,0 +1,130 @@
+"""Pure-stdlib PNG/WAV codecs (ccspark.media)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from ccspark import media
+
+
+def test_png_roundtrip_rgb():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    data = media.encode_png(img)
+    w, h, c, out = media.decode_png(data)
+    assert (w, h, c) == (7, 13, 3)
+    assert np.array_equal(out, img)
+
+
+def test_png_roundtrip_gray_and_rgba():
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    w, h, c, out = media.decode_png(media.encode_png(g))
+    assert (w, h, c) == (8, 8, 1)
+    assert np.array_equal(out[:, :, 0], g)
+    rgba = np.dstack([g, g, g, np.full((8, 8), 200, np.uint8)])
+    w, h, c, out = media.decode_png(media.encode_png(rgba))
+    assert c == 4 and np.array_equal(out, rgba)
+
+
+def _png_with_filters(width, height, rows_and_filters, color_type=2):
+    """Hand-build a PNG whose scanlines use explicit filter types."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(bytes([f]) + bytes(r) for f, r in rows_and_filters)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + media._chunk(b"IHDR", ihdr)
+        + media._chunk(b"IDAT", zlib.compress(raw))
+        + media._chunk(b"IEND", b"")
+    )
+
+
+def test_png_filters_sub_up_avg_paeth():
+    # 2x2 RGB image with known pixels, encoded with each filter type
+    # row0 = (10,20,30),(50,60,70) ; row1 = (15,25,35),(55,65,75)
+    r0 = [10, 20, 30, 50, 60, 70]
+    r1 = [15, 25, 35, 55, 65, 75]
+    want = np.array([r0, r1], dtype=np.uint8).reshape(2, 2, 3)
+
+    # Sub: byte - left(bpp)
+    sub0 = r0[:3] + [(r0[i] - r0[i - 3]) & 0xFF for i in range(3, 6)]
+    # Up on row1: byte - above
+    up1 = [(r1[i] - r0[i]) & 0xFF for i in range(6)]
+    data = _png_with_filters(2, 2, [(1, sub0), (2, up1)])
+    _, _, _, out = media.decode_png(data)
+    assert np.array_equal(out, want)
+
+    # Average and Paeth
+    avg0 = [
+        (r0[i] - ((r0[i - 3] if i >= 3 else 0) // 2)) & 0xFF for i in range(6)
+    ]
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+    pae1 = [
+        (r1[i] - paeth(r1[i - 3] if i >= 3 else 0, r0[i], r0[i - 3] if i >= 3 else 0)) & 0xFF
+        for i in range(6)
+    ]
+    data = _png_with_filters(2, 2, [(3, avg0), (4, pae1)])
+    _, _, _, out = media.decode_png(data)
+    assert np.array_equal(out, want)
+
+
+def test_png_palette():
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0])  # palette: red, green
+    raw = bytes([0, 0, 1])  # filter 0, indices [0, 1]
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + media._chunk(b"IHDR", ihdr)
+        + media._chunk(b"PLTE", plte)
+        + media._chunk(b"IDAT", zlib.compress(raw))
+        + media._chunk(b"IEND", b"")
+    )
+    w, h, c, out = media.decode_png(data)
+    assert (w, h, c) == (2, 1, 3)
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[0, 1].tolist() == [0, 255, 0]
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        media.decode_png(b"not a png at all")
+
+
+def test_wav_roundtrip_and_features():
+    t = np.arange(8000, dtype=np.float64)
+    samples = (np.sin(2 * np.pi * 440 * t / 8000) * 10000).astype(np.int16)
+    data = media.encode_wav(samples, 8000)
+    rate, nch, out = media.decode_wav(data)
+    assert (rate, nch) == (8000, 1)
+    assert np.array_equal(out, samples)
+    dur, rms, peak = media.audio_features(rate, out)
+    assert dur == pytest.approx(1.0)
+    assert rms == pytest.approx(10000 / np.sqrt(2), rel=0.01)
+    assert peak == 10000
+
+
+def test_sniff_media():
+    assert media.sniff_media(media.encode_png(np.zeros((2, 2), np.uint8))) == "image/png"
+    assert media.sniff_media(media.encode_wav(np.zeros(4, np.int16))) == "audio/wav"
+    assert media.sniff_media(b"\xff\xd8\xff\xe0junk") == "image/jpeg"
+    assert media.sniff_media(b"plain") == "application/octet-stream"
+
+
+def test_multimodal_real_decode(spark):
+    from pyspark.sql import functions as F
+
+    from ccspark import multimodal
+
+    img = np.full((4, 6, 3), 77, np.uint8)
+    wav = media.encode_wav((np.ones(800) * 5000).astype(np.int16), 8000)
+    rows = [(1, bytearray(media.encode_png(img))), (2, bytearray(wav))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in multimodal.extract_features(df, "doc_id", "payload").collect()}
+    assert out[1]["width"] == 6 and out[1]["height"] == 4
+    assert out[1]["features"][0] == pytest.approx(77.0)
+    assert out[2]["features"][0] == pytest.approx(0.1)  # duration 800/8000
+    assert out[2]["features"][2] == pytest.approx(5000.0)
