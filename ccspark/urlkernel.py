@@ -177,27 +177,26 @@ def canonicalize_matrix(
     no_path_no_query = aend == lens
     # "http://h?q" (query but no path) → scalar (needs a '/' insert mid-string)
     ok &= has_path | no_path_no_query
-    # dot segments → scalar
+    # query position (needed for path-end dot checks too)
+    qmark = (M == ord("?")) & after & in_str
+    has_q = qmark.any(axis=1)
+    qpos = np.where(has_q, qmark.argmax(axis=1), lens).astype(np.int32)
+    # a trailing bare '?' (empty query) is dropped, like the scalar path
+    empty_q = has_q & (qpos == lens - 1)
+
+    # dot segments → scalar; the PATH (not the url) may end in '/.' or
+    # '/..' with a query following, so check at the path end (qpos)
     ok &= ~(_contains(M, b"/./") | _contains(M, b"/../"))
-    dot_end = np.take_along_axis(
-        M, np.maximum(lens - 2, 0)[:, None], axis=1
-    )[:, 0] == ord("/")
-    tail1 = np.take_along_axis(M, np.maximum(lens - 1, 0)[:, None], axis=1)[:, 0]
-    tail2 = np.take_along_axis(M, np.maximum(lens - 2, 0)[:, None], axis=1)[:, 0]
-    tail3 = np.take_along_axis(M, np.maximum(lens - 3, 0)[:, None], axis=1)[:, 0]
+    pe = qpos  # path end: qpos when a query exists, else lens
+    tail1 = np.take_along_axis(M, np.maximum(pe - 1, 0)[:, None], axis=1)[:, 0]
+    tail2 = np.take_along_axis(M, np.maximum(pe - 2, 0)[:, None], axis=1)[:, 0]
+    tail3 = np.take_along_axis(M, np.maximum(pe - 3, 0)[:, None], axis=1)[:, 0]
     ends_dot = (tail1 == ord(".")) & (tail2 == ord("/"))
     ends_dotdot = (tail1 == ord(".")) & (tail2 == ord(".")) & (tail3 == ord("/"))
     ok &= ~(ends_dot | ends_dotdot)
 
     if not ok.any():
         return handled, canon, hosts
-
-    # ';' truncation inside the path ------------------------------------------
-    qmark = (M == ord("?")) & after & in_str
-    has_q = qmark.any(axis=1)
-    qpos = np.where(has_q, qmark.argmax(axis=1), lens).astype(np.int32)
-    # a trailing bare '?' (empty query) is dropped, like the scalar path
-    empty_q = has_q & (qpos == lens - 1)
     semi = (M == ord(";")) & (col[None, :] >= aend[:, None]) & (col[None, :] < qpos[:, None])
     has_semi = semi.any(axis=1)
     semi_pos = np.where(has_semi, semi.argmax(axis=1), lens).astype(np.int32)
@@ -281,20 +280,25 @@ def canonicalize_matrix(
     out_bytes = OUT2.view(f"S{L + 1}").ravel()
     out_str = out_bytes.astype(f"U{L + 1}").astype(object)
 
-    # session-id normalization on the (rare) marker rows
+    final_hosts = host_str.astype(object)
+    if strip.any():
+        for i in np.flatnonzero(strip):
+            final_hosts[i] = final_hosts[i][4:]
+
+    # session-id normalization on the (rare) marker rows.  The
+    # normalizer can splice arbitrarily (even leaving the authority as
+    # the string tail), so the host byproduct is re-derived from the
+    # final string for exactly these rows.
     m_ok = M[idx_ok]
     low_ok = np.where((m_ok >= 65) & (m_ok <= 90), m_ok | 0x20, m_ok)
     sid_rows = _contains(low_ok, b"sid") | _contains(low_ok, b"sessi")
     if sid_rows.any():
         for i in np.flatnonzero(sid_rows):
             out_str[i] = U.session_id_normalize(out_str[i])
+            final_hosts[i] = U.fast_get_host(out_str[i])
 
     handled[idx_ok] = True
     canon[idx_ok] = out_str
-    final_hosts = host_str.astype(object)
-    if strip.any():
-        for i in np.flatnonzero(strip):
-            final_hosts[i] = final_hosts[i][4:]
     hosts[idx_ok] = final_hosts
     return handled, canon, hosts
 

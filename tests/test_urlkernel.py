@@ -101,3 +101,38 @@ def test_kernel_host_byproduct_matches_urlfp_extraction():
     fp_with = U.urlfp_batch(canon, hosts=host)
     fp_without = U.urlfp_batch(canon)
     pd.testing.assert_frame_equal(fp_with, fp_without)
+
+
+def test_kernel_parity_grammar_fuzz():
+    """Grammar-based adversarial generator biased toward kernel edge
+    paths (dotted-numeric hosts, weird ports, path-end dot segments,
+    session markers before queries).  Caught two real bugs at 150k
+    scale; kept here at 20k as a permanent regression gate."""
+    rnd = random.Random(99)
+    schemes = ["http://", "https://", "ftp://", "HTTP://", "FtP://", "ws://", ""]
+    host_bits = ["example", "www", "WWW", "a", "0x7f", "127", "300", "xn--p1ai",
+                 "b_c", "-x", "x-", "co.uk", "255", "0", "01", "e"]
+    seps = [".", "..", ".-.", ""]
+    ports = ["", ":80", ":080", ":443", ":21", ":0", ":00", ":8080", ":65536",
+             ":123456", ":", ":x"]
+    pathc = ["/", "/a", ";jsessionid=abcdef0123456789abcdef0123456789", ";x",
+             "?", "?q=1", "?PHPSESSID=0123456789abcdef0123456789abcdef",
+             "/.", "/..", "/./", "/../", "%41", "%zz", "%", "\\", "#f", " ",
+             "/~", "/(", "/sid=aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+             "/OSCSID/0123456789abcdef0123456789abcdef", "?a;b", ".", "//",
+             "/?", "??"]
+    cases = []
+    for _ in range(20_000):
+        h = rnd.choice(host_bits)
+        for _ in range(rnd.randrange(0, 4)):
+            h += rnd.choice(seps) + rnd.choice(host_bits)
+        u = rnd.choice(schemes) + h + rnd.choice(ports)
+        for _ in range(rnd.randrange(0, 5)):
+            u += rnd.choice(pathc)
+        cases.append(u)
+    canon, host = K.canonicalize_batch_kernel(pd.Series(cases, dtype=object))
+    for i, u in enumerate(cases):
+        want = U.canonicalize_url(u)
+        assert canon.iloc[i] == want, repr(u)
+        want_host = U.fast_get_host(want) if want else None
+        assert host.iloc[i] == want_host, repr(u)
