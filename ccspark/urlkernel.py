@@ -87,6 +87,8 @@ def canonicalize_matrix(
     lens = np.fromiter((len(v) for v in values), dtype=np.int32, count=n)
     bs = np.array(values, dtype="S")
     L = bs.dtype.itemsize
+    if L < 10:  # nothing handleable ("ftp://a.b/" is the shortest) —
+        return handled, canon, hosts  # and the scheme slices assume L>=8
     M = bs.view(np.uint8).reshape(n, L)
     col = np.arange(L, dtype=np.int32)
 
