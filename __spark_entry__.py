@@ -28,13 +28,23 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a deterministic Common-Crawl-style url column from the
-    driver's documents table (messy variants: www., session ids, :80)."""
+    driver's documents table.  Messy variants all canonicalize back to
+    the same (source, doc_id) identity: www. prefixes, explicit :80,
+    session ids, UPPERCASE scheme+host, trailing host dots — together
+    they exercise every tier of the canonicalization kernel inside the
+    driver's oracle gate."""
     docs = _load(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("http://"),
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("http://"))
+    host = F.concat(
         F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
         F.col("source"),
         F.lit(".example.com"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    host = F.when(F.col("doc_id") % 11 == 0, F.upper(host)).otherwise(host)
+    url = F.concat(
+        scheme,
+        host,
         F.when(F.col("doc_id") % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
         F.lit("/docs/"),
         F.col("doc_id").cast("string"),
