@@ -220,19 +220,11 @@ def robots_allow_rfc(df: DataFrame, robots: DataFrame, broadcast_robots: bool = 
     """RFC 9309 gate as a pure Catalyst higher-order-function fold:
     keep rows whose path's longest matching rule allows (tie → Allow;
     no rules / no match → allow)."""
-    r = robots.select("host", "rules", "crawl_delay_ms", "max_fetches_per_round")
-    if broadcast_robots:
-        r = F.broadcast(r)
-    joined = df.join(r, "host", "left")
-    allowed = F.expr(
-        "rules IS NULL OR aggregate("
-        "  filter(rules, x -> path rlike x.rx),"
-        "  named_struct('len', -1, 'allow', true),"
-        "  (acc, x) -> IF(x.len > acc.len OR (x.len = acc.len AND x.allow AND NOT acc.allow),"
-        "               named_struct('len', x.len, 'allow', x.allow), acc)"
-        ").allow"
+    return (
+        robots_gate_rfc(df, robots, broadcast_robots)
+        .filter("robots_allowed")
+        .drop("robots_allowed")
     )
-    return joined.filter(allowed)
 
 
 def robots_table_from_fetches(df: DataFrame, host_col: str = "host", body_col: str = "robots_txt", agent: str = "*") -> DataFrame:
@@ -332,6 +324,25 @@ def rank_per_host(df: DataFrame, n_salts: int = 16) -> DataFrame:
     )
 
 
+def robots_gate_rfc(df: DataFrame, robots: DataFrame, broadcast_robots: bool = True) -> DataFrame:
+    """RFC 9309 flag variant of ``robots_gate`` over a ``rules`` table
+    (see robots_rules_table): adds ``robots_allowed`` via the
+    longest-match Catalyst fold."""
+    r = robots.select("host", "rules", "crawl_delay_ms", "max_fetches_per_round")
+    if broadcast_robots:
+        r = F.broadcast(r)
+    joined = df.join(r, "host", "left")
+    allowed = F.expr(
+        "rules IS NULL OR aggregate("
+        "  filter(rules, x -> path rlike x.rx),"
+        "  named_struct('len', -1, 'allow', true),"
+        "  (acc, x) -> IF(x.len > acc.len OR (x.len = acc.len AND x.allow AND NOT acc.allow),"
+        "               named_struct('len', x.len, 'allow', x.allow), acc)"
+        ").allow"
+    )
+    return joined.withColumn("robots_allowed", allowed)
+
+
 def schedule_round(
     candidates: DataFrame,
     robots: DataFrame,
@@ -340,6 +351,7 @@ def schedule_round(
     n_salts: int = 16,
     broadcast_robots: bool = True,
     return_disallowed: bool = False,
+    robots_mode: str = "prefix",
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Full politeness gate: host/path → robots → budget → salted rank.
 
@@ -347,17 +359,21 @@ def schedule_round(
     output adds host, path, budget, host_rank (the per-host fetch order).
     With ``return_disallowed`` also returns the robots-rejected rows so
     the frontier can retire them (they would otherwise be re-probed
-    every round forever)."""
+    every round forever).  ``robots_mode``: "prefix" expects a
+    disallow_prefixes table (the synthetic frontier's conservative
+    subset), "rfc" expects a robots_rules_table (RFC 9309 Allow +
+    wildcard semantics) — the rest of the plan is identical."""
     df = with_host_and_path(candidates)
-    gated = robots_gate(df, robots, broadcast_robots)
+    if robots_mode == "rfc":
+        gated = robots_gate_rfc(df, robots, broadcast_robots)
+        rule_cols = ("rules", "crawl_delay_ms", "max_fetches_per_round")
+    else:
+        gated = robots_gate(df, robots, broadcast_robots)
+        rule_cols = ("disallow_prefixes", "crawl_delay_ms", "max_fetches_per_round")
     allowed = gated.filter("robots_allowed").drop("robots_allowed")
     allowed = with_budget(allowed, default_budget, round_duration_ms)
-    sched = rank_per_host(allowed, n_salts).drop(
-        "disallow_prefixes", "crawl_delay_ms", "max_fetches_per_round"
-    )
+    sched = rank_per_host(allowed, n_salts).drop(*rule_cols)
     if return_disallowed:
-        disallowed = gated.filter(~F.col("robots_allowed")).drop(
-            "robots_allowed", "disallow_prefixes", "crawl_delay_ms", "max_fetches_per_round"
-        )
+        disallowed = gated.filter(~F.col("robots_allowed")).drop("robots_allowed", *rule_cols)
         return sched, disallowed
     return sched

@@ -130,3 +130,37 @@ def test_robots_allow_rfc_catalyst(spark):
     for h, p, want in paths:
         if h == "a.com":
             assert politeness.robots_decision(p, rules_scalar) == want, p
+
+
+def test_schedule_round_rfc_mode(spark):
+    from pyspark.sql import functions as F
+
+    robots_src = spark.createDataFrame(
+        [("a.com", RFC_ROBOTS), ("b.com", None)], "host string, robots_txt string"
+    )
+    rules = politeness.robots_rules_table(robots_src)
+    cands = spark.createDataFrame(
+        [
+            ("http://a.com/private/x", 0.9, 1, 11),
+            ("http://a.com/private/public/x", 0.8, 2, 12),
+            ("http://a.com/downloads/ok.pdf", 0.7, 3, 13),
+            ("http://a.com/doc.pdf", 0.6, 4, 14),
+            ("http://b.com/anything", 0.5, 5, 15),
+        ],
+        "canonical_url string, priority double, domain_hash long, url_hash long",
+    )
+    sched, disallowed = politeness.schedule_round(
+        cands, rules, default_budget=10, n_salts=4,
+        return_disallowed=True, robots_mode="rfc",
+    )
+    got = {r["canonical_url"] for r in sched.collect()}
+    assert got == {
+        "http://a.com/private/public/x",   # longer Allow wins
+        "http://a.com/downloads/ok.pdf",   # longer Allow wins
+        "http://b.com/anything",           # no rules -> allow
+    }
+    dis = {r["canonical_url"] for r in disallowed.collect()}
+    assert dis == {"http://a.com/private/x", "http://a.com/doc.pdf"}
+    # per-host ranks are dense from 1
+    ranks = [(r["host"], r["host_rank"]) for r in sched.collect()]
+    assert ("b.com", 1) in ranks
