@@ -105,3 +105,81 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
         .outputMode(output_mode)
         .start()
     )
+
+
+CANDIDATES_SCHEMA = "url string, priority double, ts timestamp"
+
+
+def stream_candidates(spark: SparkSession, path: str, max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream of discovered candidate URLs."""
+    return (
+        spark.readStream.schema(CANDIDATES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_frontier(
+    candidates: DataFrame,
+    robots: DataFrame,
+    out_dir: str,
+    default_budget: int = 10,
+    n_salts: int = 8,
+    checkpoint_dir: str | None = None,
+):
+    """Micro-batch crawl scheduler: the batch politeness pipeline run per
+    trigger with a PERSISTENT seen set, via foreachBatch.
+
+    Each micro-batch: canonicalize+fingerprint → identity dedup →
+    anti-join the accumulated seen table → robots + budget + salted
+    rank → append scheduled (tagged with batch_id) → append the batch's
+    scheduled ∪ disallowed identities to seen.  Re-discovered URLs in
+    later triggers are suppressed by the seen table, so the stream's
+    output equals the batch frontier loop's over the same drops.
+
+    Delivery note: appends inside foreachBatch are at-least-once on
+    micro-batch retry; readers dedup on (batch_id, domain_hash,
+    url_hash) for exactly-once consumption — the same idempotence rule
+    as the batch checkpoint's overwrite-by-round."""
+    import os
+
+    from . import politeness
+
+    seen_dir = os.path.join(out_dir, "seen")
+    sched_dir = os.path.join(out_dir, "scheduled")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        ident = (
+            CF.with_canonical_urlfp(batch_df)
+            .filter("url_valid")
+            .groupBy("domain_hash", "url_hash")
+            .agg(
+                F.min("url").alias("url"),
+                F.min("canonical_url").alias("canonical_url"),
+                F.max("priority").alias("priority"),
+            )
+        )
+        if os.path.exists(seen_dir):
+            seen = spark_l.read.parquet(seen_dir)
+            novel = ident.join(seen, ["domain_hash", "url_hash"], "left_anti")
+        else:
+            novel = ident
+        sched, disallowed = politeness.schedule_round(
+            novel,
+            robots,
+            default_budget=default_budget,
+            n_salts=n_salts,
+            return_disallowed=True,
+        )
+        sched = sched.withColumn("batch_id", F.lit(batch_id)).cache()
+        sched.write.mode("append").parquet(sched_dir)
+        sched.select("domain_hash", "url_hash").unionByName(
+            disallowed.select("domain_hash", "url_hash")
+        ).write.mode("append").parquet(seen_dir)
+        sched.unpersist()
+
+    writer = candidates.writeStream.foreachBatch(_process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -72,3 +72,68 @@ def test_stateful_budget(spark, staged_pages):
         assert used == sorted(used)
     # hot hosts exceed the tiny budget
     assert out["over_budget"].any()
+
+
+def test_streaming_frontier_end_to_end(spark, tmp_path):
+    """Micro-batch scheduler: cross-batch dedup via the persistent seen
+    set, robots gating, per-host budget — equals the batch semantics."""
+    import time
+
+    import pandas as pd
+
+    from ccspark import streaming as ST
+
+    src = tmp_path / "drops"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    robots = spark.createDataFrame(
+        [("a.com", ["/private"], None, None), ("b.com", [], None, None)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long, max_fetches_per_round int",
+    )
+
+    def drop(name, rows):
+        # write via Spark (Spark-compatible timestamps), then move the
+        # single part file into the flat stream-source directory
+        import glob as _glob
+        import shutil as _sh
+
+        stage = tmp_path / ("stage_" + name)
+        spark.createDataFrame(rows, "url string, priority double, ts timestamp") \
+            .coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        _sh.copy(part, src / (name + ".parquet"))
+
+    ts = pd.Timestamp("2024-01-01").to_pydatetime()
+    drop("d1", [
+        ("http://a.com/x", 0.9, ts),
+        ("http://a.com/private/no", 0.8, ts),
+        ("http://b.com/y", 0.7, ts),
+    ])
+
+    cands = ST.stream_candidates(spark, str(src), max_files_per_trigger=1)
+    q = ST.streaming_frontier(
+        cands, robots, str(out), default_budget=5, n_salts=2, checkpoint_dir=str(ckpt)
+    )
+    try:
+        q.processAllAvailable()
+        # second drop: one repeat (must be suppressed), one new
+        drop("d2", [
+            ("http://a.com/x", 0.95, ts),       # already seen
+            ("http://a.com/private/no", 0.9, ts),  # already retired
+            ("http://b.com/z", 0.6, ts),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sched = spark.read.parquet(str(out / "scheduled"))
+    got = {(r["canonical_url"], r["batch_id"]) for r in sched.collect()}
+    urls = {u for u, _ in got}
+    assert urls == {"http://a.com/x", "http://b.com/y", "http://b.com/z"}
+    # the repeat was NOT rescheduled in the second batch
+    assert ("http://a.com/x", 1) not in got
+    seen = spark.read.parquet(str(out / "seen"))
+    # scheduled (3) + robots-retired (1)
+    assert seen.distinct().count() == 4
