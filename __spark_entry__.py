@@ -509,6 +509,26 @@ def q_ip_roundtrip(spark, sf_dir):
     )
 
 
+def q_domain_validate(spark, sf_dir):
+    """P6 domain validation over derived hosts (valid dotted names, IPv4
+    literals, illegal-charset and overlong variants)."""
+    from ccspark import scalar_ops
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("source"), F.lit(".example.com")))
+        .when(F.col("doc_id") % 5 == 1, F.lit("192.168.1.1"))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.col("source"), F.lit("!bad.com")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("UPPER-"), F.col("source"), F.lit(".Example.COM")))
+        .otherwise(F.concat(F.lit("x"), F.repeat(F.lit("a"), 300), F.lit(".com")))
+    )
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        scalar_ops.is_valid_domain(host).alias("valid"),
+    )
+
+
 def q_mime_filter(spark, sf_dir):
     """P7 MIME classification over a derived content-type column."""
     from ccspark import scalar_ops
@@ -654,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode": q_media_decode,
         "q_codecs": q_codecs,
         "q_ip_roundtrip": q_ip_roundtrip,
+        "q_domain_validate": q_domain_validate,
         "q_mime_filter": q_mime_filter,
         "q_escaped_newlines": q_escaped_newlines,
         "q_charset_decode": q_charset_decode,
@@ -766,6 +787,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 "
             "+ CAST(string_split(ip, '.')[3] AS BIGINT) * 256 + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_int "
             "FROM ips"
+        ),
+        "q_domain_validate": (
+            "WITH t AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INT) "
+            "WHEN 0 THEN source || '.example.com' "
+            "WHEN 1 THEN '192.168.1.1' "
+            "WHEN 2 THEN source || '!bad.com' "
+            "WHEN 3 THEN 'UPPER-' || source || '.Example.COM' "
+            "ELSE 'x' || repeat('a', 300) || '.com' END AS host FROM documents) "
+            "SELECT doc_id, host, length(host) <= 255 AND ("
+            "regexp_matches(lower(host), '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$') OR ("
+            "NOT regexp_matches(lower(host), '[^0-9a-z\-\._]') "
+            "AND len(string_split(lower(host), '.')) <= 128)) AS valid FROM t"
         ),
         "q_mime_filter": (
             "WITH m AS (SELECT event_id, CASE event_type WHEN 'click' THEN 'text/html; charset=utf-8' "
