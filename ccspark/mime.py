@@ -247,7 +247,13 @@ _LR_SQL = r"^[\-.+]*(?:x\-|vnd\.)*([^+]*)\+*([a-z]*)(?:\+.*)*$"
 
 
 def _catalyst_parts(mime: Column):
-    matched = mime.rlike(r"\A(?s:[^a-zA-Z0-9]*[a-zA-Z0-9\-/.+]*.*)\Z") & ~mime.contains("\n")
+    # Java Matcher.matches() fails when any of the five line terminators
+    # (\n \r \x85 U+2028 U+2029) precedes content the trailing .* would
+    # otherwise span — mirror all five, not just \n (MimeTypeFilter.java
+    # pattern semantics under java.util.regex MULTILINE-less '$').
+    matched = mime.rlike(r"\A(?s:[^a-zA-Z0-9]*[a-zA-Z0-9\-/.+]*.*)\Z") & ~mime.rlike(
+        "[\n\r\u0085\u2028\u2029]"
+    )
     trunc = F.lower(F.regexp_extract(mime, _TRUNC_SQL, 1))
     has_sub = trunc.rlike(r"^.+/.+$")
     primary = F.when(has_sub, F.regexp_extract(trunc, r"^(.+)/(.+)$", 1)).otherwise(trunc)

@@ -207,7 +207,10 @@ def robots_rules_table(
             {"rules": out_rules, "crawl_delay_ms": pd.array(out_delay, dtype="Int64")}
         )
 
-    parsed = df.withColumn("_r", _parse(F.col(body_col)))
+    # one row per host is a hard invariant downstream: schedule_round's
+    # gate join would fan candidates out (duplicate seen identities,
+    # double-counted budgets) on a duplicate host row
+    parsed = df.dropDuplicates([host_col]).withColumn("_r", _parse(F.col(body_col)))
     return parsed.select(
         F.col(host_col).alias("host"),
         F.col("_r.rules").alias("rules"),
@@ -249,7 +252,8 @@ def robots_table_from_fetches(df: DataFrame, host_col: str = "host", body_col: s
             }
         )
 
-    parsed = df.withColumn("_r", _parse(F.col(body_col)))
+    # same one-row-per-host invariant as robots_rules_table
+    parsed = df.dropDuplicates([host_col]).withColumn("_r", _parse(F.col(body_col)))
     return parsed.select(
         F.col(host_col).alias("host"),
         F.col("_r.disallow_prefixes").alias("disallow_prefixes"),
@@ -362,7 +366,11 @@ def schedule_round(
     every round forever).  ``robots_mode``: "prefix" expects a
     disallow_prefixes table (the synthetic frontier's conservative
     subset), "rfc" expects a robots_rules_table (RFC 9309 Allow +
-    wildcard semantics) — the rest of the plan is identical."""
+    wildcard semantics) — the rest of the plan is identical.
+
+    INVARIANT: ``robots`` must have exactly one row per host (the
+    constructors enforce this) — the gate join would otherwise fan out
+    candidates into duplicate identities downstream."""
     df = with_host_and_path(candidates)
     if robots_mode == "rfc":
         gated = robots_gate_rfc(df, robots, broadcast_robots)

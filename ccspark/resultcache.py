@@ -64,11 +64,27 @@ class ResultCache:
         try:
             os.rename(tmp, d)  # atomic on POSIX; fails if a winner exists
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(d, _MARKER)):
+                # The incumbent is an orphan: a writer crashed after the
+                # rename but before its marker landed.  Its data dir is
+                # complete (rename happens only after the parquet write
+                # finished), so reclaim it by writing the marker instead
+                # of leaving the key permanently uncommitted.
+                if os.path.exists(os.path.join(d, "data", "_SUCCESS")):
+                    self._write_marker(d, params)
+                else:
+                    # incomplete orphan (shouldn't happen: rename follows a
+                    # finished write) — evict and retry once with our result
+                    shutil.rmtree(d, ignore_errors=True)
+                    return self.put(stage, params, df)
         else:
-            with open(os.path.join(d, _MARKER), "w", encoding="utf-8") as fh:
-                fh.write(params_hash(params))
+            self._write_marker(d, params)
         return self.spark.read.parquet(os.path.join(d, "data"))
+
+    def _write_marker(self, d: str, params: dict) -> None:
+        with open(os.path.join(d, _MARKER), "w", encoding="utf-8") as fh:
+            fh.write(params_hash(params))
 
     def get_or_compute(
         self, stage: str, params: dict, compute: Callable[[], DataFrame]

@@ -33,7 +33,9 @@ _F_SEMI = 0x08   # ';' present (possible path truncation)
 _F_SID = 0x10    # unused in LUT (marker search is positional)
 
 _LUT = np.zeros(256, dtype=np.uint8)
-for _b in range(0x01, 0x21):
+for _b in range(0x00, 0x21):
+    # includes NUL: the S->U cast silently strips trailing NULs and the
+    # scalar path %-escapes embedded ones, so NUL rows must fall back
     _LUT[_b] |= _F_SLOW
 for _c in b'%\\#"<>':
     _LUT[_c] |= _F_SLOW

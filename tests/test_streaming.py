@@ -137,3 +137,89 @@ def test_streaming_frontier_end_to_end(spark, tmp_path):
     seen = spark.read.parquet(str(out / "seen"))
     # scheduled (3) + robots-retired (1)
     assert seen.distinct().count() == 4
+
+
+def _mk_batch(spark, rows):
+    return spark.createDataFrame(rows, "url string, priority double, ts timestamp")
+
+
+def test_streaming_frontier_overbudget_carryover(spark, tmp_path):
+    """Allowed-but-over-budget novel rows re-enter the next trigger
+    instead of being silently dropped (budget binds on host a.com)."""
+    import pandas as pd
+
+    from ccspark import streaming as ST
+
+    out = tmp_path / "out"
+    robots = spark.createDataFrame(
+        [("a.com", [], None, None)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long, max_fetches_per_round int",
+    )
+    ts = pd.Timestamp("2024-01-01").to_pydatetime()
+    # 5 URLs on one host, budget 2 → 2 scheduled, 3 carried over
+    b0 = _mk_batch(spark, [(f"http://a.com/p{i}", 0.9 - i * 0.1, ts) for i in range(5)])
+    ST.frontier_process_batch(b0, 0, robots, str(out), default_budget=2, n_salts=2)
+    sched0 = spark.read.parquet(str(out / "scheduled" / "batch_id=0"))
+    assert sched0.count() == 2
+    carry0 = spark.read.parquet(str(out / "carryover" / "after_batch=0"))
+    assert carry0.count() == 3
+    # next trigger brings ONE new URL; the 3 carried rows re-enter and
+    # compete: 2 scheduled again (highest priority of the 4)
+    b1 = _mk_batch(spark, [("http://a.com/new", 0.95, ts)])
+    ST.frontier_process_batch(b1, 1, robots, str(out), default_budget=2, n_salts=2)
+    sched1 = spark.read.parquet(str(out / "scheduled" / "batch_id=1"))
+    got1 = {r["canonical_url"] for r in sched1.collect()}
+    # priorities: new=0.95, p2=0.7, p3=0.6, p4=0.5 → top-2
+    assert got1 == {"http://a.com/new", "http://a.com/p2"}
+    carry1 = spark.read.parquet(str(out / "carryover" / "after_batch=1"))
+    assert {r["canonical_url"] for r in carry1.collect()} == {
+        "http://a.com/p3",
+        "http://a.com/p4",
+    }
+    # nothing was ever lost: scheduled ∪ backlog covers every input URL
+    all_sched = spark.read.parquet(str(out / "scheduled"))
+    assert all_sched.count() + carry1.count() == 6
+
+
+def test_streaming_frontier_exactly_once(spark, tmp_path):
+    """Kill mid-batch (before the commit marker), re-run → scheduled
+    output byte-identical; re-run of a COMMITTED batch is a no-op."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from ccspark import streaming as ST
+
+    out = tmp_path / "out"
+    robots = spark.createDataFrame(
+        [("a.com", [], None, None)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long, max_fetches_per_round int",
+    )
+    ts = pd.Timestamp("2024-01-01").to_pydatetime()
+    b0 = _mk_batch(spark, [(f"http://a.com/p{i}", 0.5, ts) for i in range(4)])
+    # first attempt dies after the data writes but before the marker
+    with _pytest.raises(RuntimeError):
+        ST.frontier_process_batch(
+            b0, 0, robots, str(out), default_budget=10, _die_before_marker=True
+        )
+    assert not (out / "_batch_markers" / "batch-0").exists()
+
+    def read_bytes(p):
+        import glob
+
+        return b"".join(
+            open(f, "rb").read() for f in sorted(glob.glob(str(p / "part-*.parquet")))
+        )
+
+    partial = read_bytes(out / "scheduled" / "batch_id=0")
+    # retry overwrites its own partial output deterministically
+    ST.frontier_process_batch(b0, 0, robots, str(out), default_budget=10)
+    assert (out / "_batch_markers" / "batch-0").exists()
+    committed = read_bytes(out / "scheduled" / "batch_id=0")
+    assert committed == partial  # byte-identical re-run
+    sched = spark.read.parquet(str(out / "scheduled"))
+    assert sched.count() == 4
+    # spurious redelivery of the committed batch: skipped entirely
+    before = read_bytes(out / "scheduled" / "batch_id=0")
+    ST.frontier_process_batch(b0, 0, robots, str(out), default_budget=10)
+    assert read_bytes(out / "scheduled" / "batch_id=0") == before
+    assert spark.read.parquet(str(out / "scheduled")).count() == 4

@@ -34,6 +34,10 @@ EXTRA = [
     "http://user:pw@h.com/x", "http://h.com:/x", "http://h.com:0080/x",
     "http://bücher.example/x", "http://h.com", "http://h.com?q=1",
     "http://h..com/x", "http://h.com../x", "http://h.com:80", "http://h.com:80?",
+    # NUL bytes must take the scalar path: the kernel's S→U cast silently
+    # strips trailing NULs and would keep embedded ones raw where the
+    # scalar canonicalizer %-escapes them (ADVICE r2)
+    "http://a.b/x\x00y", "http://a.b/x\x00", "http://a.b\x00/x", "\x00http://a.b/x",
 ]
 
 
