@@ -44,7 +44,13 @@ HEADLINE = [
     "q_ann_cosine_topk",
 ]
 
-FRONTIER_UNIVERSE = int(os.environ.get("CCSPARK_BENCH_UNIVERSE", "2000000"))
+# 4M-URL universe (r1/r2 used 2M): the frontier's per-round fixed cost
+# (action scheduling, python-worker spin-up, committer) is flat in
+# universe size, so a larger universe measures the per-URL rate a real
+# cluster round would see — the 10^10 north-star direction.  A 2M run
+# is still recorded under "frontier_prev_basis" for r1/r2 comparability.
+FRONTIER_UNIVERSE = int(os.environ.get("CCSPARK_BENCH_UNIVERSE", "4000000"))
+FRONTIER_PREV_BASIS_UNIVERSE = 2_000_000
 FRONTIER_ROUNDS = int(os.environ.get("CCSPARK_BENCH_ROUNDS", "3"))
 FRONTIER_BUDGET = 50
 # dataset partitioning is a property of the data layout, NOT the cluster
@@ -80,27 +86,34 @@ def run_queries() -> dict:
         timings[name] = round(time.time() - t0, 3)
         assert n >= 0
 
-    # frontier throughput at current parallelism
+    # frontier throughput at current parallelism (headline basis),
+    # plus the r1/r2 2M-universe basis for round-over-round comparability
     frontier_stats = run_frontier_inproc(spark)
+    frontier_prev = run_frontier_inproc(spark, universe=FRONTIER_PREV_BASIS_UNIVERSE)
     spark.stop()
-    return {"timings": timings, "frontier": frontier_stats}
+    return {
+        "timings": timings,
+        "frontier": frontier_stats,
+        "frontier_prev_basis": frontier_prev,
+    }
 
 
-def run_frontier_inproc(spark, ckpt_dir: str | None = None) -> dict:
+def run_frontier_inproc(spark, ckpt_dir: str | None = None, universe: int | None = None) -> dict:
     from ccspark.frontier import CrawlFrontier, FrontierConfig
     from ccspark import synth
 
-    ckpt = ckpt_dir or f"/tmp/ccspark_bench_ckpt_{os.getpid()}"
+    universe = universe or FRONTIER_UNIVERSE
+    ckpt = ckpt_dir or f"/tmp/ccspark_bench_ckpt_{os.getpid()}_{universe}"
     shutil.rmtree(ckpt, ignore_errors=True)
     cfg = FrontierConfig(
         num_partitions=FRONTIER_PARTITIONS,
-        universe_n=FRONTIER_UNIVERSE,
+        universe_n=universe,
         seed=42,
         default_budget=FRONTIER_BUDGET,
         n_salts=8,
     )
     fr = CrawlFrontier(spark, ckpt, cfg)
-    seeds = synth.gen_seeds(spark, FRONTIER_UNIVERSE, cfg.n_hosts, 42)
+    seeds = synth.gen_seeds(spark, universe, cfg.n_hosts, 42)
     t0 = time.time()
     fr.bootstrap(seeds)
     t_boot = time.time() - t0
@@ -112,6 +125,7 @@ def run_frontier_inproc(spark, ckpt_dir: str | None = None) -> dict:
     processed = sum(m["candidates"] for m in metrics)
     shutil.rmtree(ckpt, ignore_errors=True)
     return {
+        "universe": universe,
         "wall_s": round(wall, 2),
         "bootstrap_s": round(t_boot, 2),
         "rounds_wall_s": round(rounds_wall, 2),
@@ -204,6 +218,7 @@ def main() -> int:
         "queries": res["timings"],
         "sf": _sf_of(SF_DIR),
         "frontier": res["frontier"],
+        "frontier_prev_basis": res["frontier_prev_basis"],
         "cpus": CPUS,
     }
     print(json.dumps(out))

@@ -91,6 +91,35 @@ class Checkpoint:
         w.parquet(path)
         return path
 
+    def write_pdf(self, pdf, name: str, round_no: int, arrow_schema=None) -> str:
+        """Driver-side write for driver-built tables (initial filter
+        blobs, per-round lineage rows) — plain pyarrow, NO Spark job.
+        The frontier's per-round fixed cost is the action count; tables
+        whose data already lives on the driver shouldn't spend one.
+        ``arrow_schema`` pins exact physical types so Spark reads them
+        back type-identical to a Spark-written table."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self.table_dir(name, round_no)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path)
+        table = pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+        return path
+
+    def copy_round(self, name: str, from_round: int, to_round: int) -> str:
+        """Carry a table unchanged into a new round (driver-side copy —
+        no Spark job; used when a round provably leaves a table
+        identical, e.g. filters on an empty frontier)."""
+        src = self.table_dir(name, from_round)
+        dst = self.table_dir(name, to_round)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+        return dst
+
     def read(self, spark: SparkSession, name: str, round_no: int) -> DataFrame:
         return spark.read.parquet(self.table_dir(name, round_no))
 

@@ -4,11 +4,15 @@ tables with per-partition lineage and deterministic resume.
 Round shape (north_rule; SURVEY.md §7 step 7):
 
     frontier ──filter_new (bloom/cuckoo + exact confirm)──▶ novel
-    novel ──robots + crawl-delay budget + salted rank──▶ scheduled
+    novel ──robots + crawl-delay budget + salted rank──▶ processed
+              (= scheduled rows ∪ robots-retired rows; host_rank NULL
+               marks retirement — ONE table, so the seen delta is just
+               its identity columns and needs no write of its own)
     scheduled ──deterministic fetch simulation──▶ discovered links
-    seen    += scheduled identities           (append delta)
-    frontier' = (novel − scheduled) ∪ (links − seen), max-priority merge
-    lineage  += per-partition row (emitted / deduped / budget)
+    seen     = processed identities across rounds (derived, not stored)
+    frontier' = (novel − processed) ∪ (links − seen), max-priority merge
+    lineage  += per-partition row (emitted / deduped / budget),
+               collected to the driver and written with pyarrow
     checkpoint all tables, commit manifest atomically
 
 Determinism: every ordering is total — (priority DESC, domain_hash,
@@ -48,6 +52,22 @@ FRONTIER_COLS = [
 ]
 
 LINK_DECAY = 0.8
+
+
+def _lineage_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("round", pa.int32()),
+            ("partition_id", pa.int32()),
+            ("hash_range_start", pa.int64()),
+            ("hash_range_end", pa.int64()),
+            ("urls_emitted", pa.int64()),
+            ("urls_deduped", pa.int64()),
+            ("fetch_budget_consumed", pa.int64()),
+        ]
+    )
 
 
 class FrontierConfig:
@@ -124,19 +144,44 @@ class CrawlFrontier:
         )
 
     def _robots(self) -> DataFrame:
-        return synth.gen_robots(self.spark, self.cfg.n_hosts, self.cfg.seed)
+        # memoized: the rules table is immutable across rounds — rebuilding
+        # the local relation every round re-ships n_hosts rows to the JVM
+        if getattr(self, "_robots_df", None) is None:
+            self._robots_df = synth.gen_robots(self.spark, self.cfg.n_hosts, self.cfg.seed)
+        return self._robots_df
+
+    # -- read surfaces ------------------------------------------------------
+
+    def read_trace(self, upto_round: int) -> DataFrame:
+        """Scheduled trace rows across rounds 1..upto (the crawl
+        ordering): the scheduled half of the per-round processed table."""
+        return (
+            self.ckpt.read_all_rounds(self.spark, "processed", upto_round)
+            .filter(F.col("host_rank").isNotNull())
+        )
+
+    def read_seen(self, upto_round: int) -> DataFrame | None:
+        """Seen-set membership = every identity the crawl has disposed of
+        (scheduled or robots-retired) across rounds 1..upto."""
+        proc = self.ckpt.read_all_rounds(self.spark, "processed", upto_round)
+        return None if proc is None else proc.select("domain_hash", "url_hash")
 
     # -- lifecycle --------------------------------------------------------
 
     def bootstrap(self, seeds: DataFrame) -> None:
-        """Round 0: establish the frontier from the seed list."""
-        frontier = self._identify(seeds, 0)
+        """Round 0: establish the frontier from the seed list.
+
+        ONE Spark action: the identified-seeds write, with the row count
+        read off an Observation instead of a second (full-recompute)
+        count job.  The empty filter table is deterministic driver-side
+        data — written with pyarrow directly, no job; the seen set
+        starts absent (read_all_rounds returns None for round 0)."""
+        from pyspark.sql import Observation
+
+        obs = Observation("bootstrap_n")
+        frontier = self._identify(seeds, 0).observe(obs, F.count(F.lit(1)).alias("n"))
         self.ckpt.write(frontier, "frontier", 0)
-        empty_seen = self.spark.createDataFrame([], "domain_hash long, url_hash long")
-        self.ckpt.write(empty_seen, "seen", 0)
-        # empty filter table constructed driver-side (deterministic; no
-        # zero-row build job)
-        filters = self.spark.createDataFrame(
+        self.ckpt.write_pdf(
             seenset.empty_filters_pdf(
                 self.cfg.num_partitions,
                 self.cfg.filter_kind,
@@ -145,25 +190,26 @@ class CrawlFrontier:
                 if self.cfg.filter_kind == "bloom"
                 else None,
             ),
-            schema=seenset.FILTER_SCHEMA,
+            "filters",
+            0,
+            arrow_schema=seenset.filter_arrow_schema(),
         )
-        self.ckpt.write(filters, "filters", 0)
-        n0 = frontier.count()
         self.ckpt.commit_round(
             0,
-            {"frontier": "round=0", "seen": "round=0", "filters": "round=0"},
-            extra={"frontier_size": n0},
+            {"frontier": "round=0", "filters": "round=0"},
+            extra={"frontier_size": int(obs.get["n"])},
         )
 
     def run_round(self, round_no: int) -> dict:
         """Execute one crawl round (round_no >= 1); returns metrics.
 
         Action budget (the per-round fixed cost at production scale):
-        exactly four write jobs — scheduled, frontier, filters, lineage
-        (+ the tiny seen-delta write folded into the scheduled job's
-        cached inputs).  All row counts come from Observations attached
-        to those same writes; no separate .count()/.toPandas() jobs and
-        no post-write re-reads."""
+        exactly THREE write jobs — processed (scheduled ∪ robots-retired,
+        one table so the seen delta needs no write of its own), frontier,
+        filters — plus one tiny collect for the per-partition lineage
+        rows, which land via a driver-side pyarrow write.  All row
+        counts come from Observations attached to those same actions; no
+        separate .count()/.toPandas() jobs and no post-write re-reads."""
         import os
         import time as _time
 
@@ -183,7 +229,7 @@ class CrawlFrontier:
         prev = round_no - 1
 
         frontier = ckpt.read(spark, "frontier", prev)
-        seen = ckpt.read_all_rounds(spark, "seen", prev)
+        seen = self.read_seen(prev)  # None before the first completed round
         filters = ckpt.read(spark, "filters", prev)
 
         prev_manifest = ckpt.read_manifest() or {}
@@ -193,10 +239,11 @@ class CrawlFrontier:
             else frontier.count()
         )
         if n_candidates == 0:
-            ckpt.write(frontier, "frontier", round_no)
-            ckpt.write(spark.createDataFrame([], "domain_hash long, url_hash long"), "seen", round_no)
-            ckpt.write(filters, "filters", round_no)
-            ckpt.commit_round(round_no, {"empty": "true"})
+            # nothing to do: carry frontier+filters forward driver-side
+            # (byte-identical copies — no Spark jobs at all)
+            ckpt.copy_round("frontier", prev, round_no)
+            ckpt.copy_round("filters", prev, round_no)
+            ckpt.commit_round(round_no, {"empty": "true"}, extra={"frontier_size": 0})
             return {"round": round_no, "candidates": 0, "scheduled": 0, "new_links": 0}
 
         # novelty gate: bloom/cuckoo pre-screen + exact confirm.  With a
@@ -219,16 +266,18 @@ class CrawlFrontier:
             .cache()
         )
 
-        # politeness: robots + budgets + salted per-host rank; disallowed
-        # rows are retired into the seen set so the frontier drains of
-        # them instead of re-probing every round
-        sched_df, disallowed = politeness.schedule_round(
+        # politeness: robots + budgets + salted per-host rank, ONE linear
+        # plan producing the round's processed table = scheduled rows
+        # (host_rank 1..budget) ∪ robots-retired rows (host_rank NULL,
+        # so the frontier drains of them instead of re-probing every
+        # round).  The seen delta is exactly this table's identity
+        # columns, so it needs no write of its own.
+        proc_df = politeness.process_round(
             novel,
             self._robots(),
             cfg.default_budget,
             cfg.round_duration_ms,
             cfg.n_salts,
-            return_disallowed=True,
         )
         sched_cols = [
             "round",
@@ -240,45 +289,65 @@ class CrawlFrontier:
             "url_hash",
             "priority",
         ]
-        obs_sched = Observation(f"sched_{round_no}")
-        scheduled = (
-            sched_df.withColumn("round", F.lit(round_no))
+        obs_proc = Observation(f"proc_{round_no}")
+        processed = (
+            proc_df.withColumn("round", F.lit(round_no))
             .select(*sched_cols)
-            .observe(obs_sched, F.count(F.lit(1)).alias("n"))
+            .observe(
+                obs_proc,
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("host_rank").isNotNull(), F.lit(1))).alias("n_sched"),
+            )
             .cache()
         )
-        ckpt.write(scheduled, "scheduled", round_no)  # action 1 (fills caches)
-        _mark("sched_write")
+        ckpt.write(processed, "processed", round_no)  # action 1 (fills caches)
+        _mark("processed_write")
 
-        # seen delta = scheduled ∪ robots-excluded identities
-        seen_delta = (
-            scheduled.select("domain_hash", "url_hash")
-            .unionByName(disallowed.select("domain_hash", "url_hash"))
-            .cache()
-        )
-        ckpt.write(seen_delta, "seen", round_no)  # action 2 (small)
-        _mark("seen_write")
+        scheduled = processed.filter(F.col("host_rank").isNotNull())
+        seen_delta = processed.select("domain_hash", "url_hash")
         seen_new = (
             seen.unionByName(seen_delta) if seen is not None else seen_delta
         )
 
-        # fetch simulation → discovered links
-        def _expand(batches):
+        # fetch simulation → discovered links, expansion + canonicalize +
+        # fingerprint FUSED into one python pass (one Arrow hop instead of
+        # mapInPandas → JVM → pandas_udf; link strings cross the boundary
+        # once).  Identity columns WITHOUT the per-links groupBy — the
+        # next-frontier aggregation below dedups (min url / max priority)
+        # over leftover ∪ links in ONE shuffle instead of two.
+        def _expand_ident(batches):
+            from . import urls as urls_mod
+
             for pdf in batches:
-                links = expand_links_pdf(pdf["url_hash"].to_numpy(), cfg)
-                links["priority"] = np.repeat(
+                raw = expand_links_pdf(pdf["url_hash"].to_numpy(), cfg)
+                pri = np.repeat(
                     pdf["priority"].to_numpy() * LINK_DECAY, cfg.links_per_fetch
                 )
-                yield links[["url", "priority"]]
+                u = raw["url"]
+                canon, hosts = urls_mod.canonicalize_batch_with_host(u)
+                fp = urls_mod.urlfp_batch(canon, hosts=hosts)
+                yield pd.DataFrame(
+                    {
+                        "url": u.to_numpy(),
+                        "canonical_url": canon.to_numpy(),
+                        "domain_hash": fp["domain_hash"],
+                        "url_hash": fp["url_hash"],
+                        "root_domain_hash": fp["root_domain_hash"],
+                        "priority": pri,
+                        "url_valid": fp["valid"],
+                    }
+                )
 
-        links_raw = scheduled.select("url_hash", "priority").mapInPandas(
-            _expand, schema="url string, priority double"
-        )
-        # identity columns WITHOUT the per-links groupBy — the
-        # next-frontier aggregation below dedups (min url / max priority)
-        # over leftover ∪ links in ONE shuffle instead of two
         links = (
-            CF.with_canonical_urlfp(links_raw)
+            scheduled.select("url_hash", "priority")
+            .mapInPandas(
+                _expand_ident,
+                schema=(
+                    "url string, canonical_url string, domain_hash long, "
+                    "url_hash long, root_domain_hash long, priority double, "
+                    "url_valid boolean"
+                ),
+            )
             .filter("url_valid")
             .withColumn("discovered_round", F.lit(round_no))
             .select(*FRONTIER_COLS)
@@ -305,7 +374,7 @@ class CrawlFrontier:
         # distributed rows by (domain_hash, url_hash) and every consumer
         # (probe, exact confirm, lineage) re-keys itself; a second full
         # shuffle bought nothing.
-        ckpt.write(next_frontier, "frontier", round_no)  # action 3
+        ckpt.write(next_frontier, "frontier", round_no)  # action 2
         _mark("frontier_write")
 
         # filters: bloom → incremental (delta build over this round's new
@@ -325,18 +394,19 @@ class CrawlFrontier:
             filters_new = seenset.build_filters(
                 seen_new, cfg.num_partitions, "cuckoo", cfg.buckets_per_element
             )
-        ckpt.write(filters_new, "filters", round_no)  # action 4
+        ckpt.write(filters_new, "filters", round_no)  # action 3
         _mark("filters_write")
 
         # lineage: per-partition commit record — ONE tagged-union job over
-        # the cached frames instead of three groupBys + joins
+        # the cached frames; the ~num_partitions result rows are collected
+        # and written driver-side (no parquet-committer job for 32 rows)
         pid = F.pmod(F.col("domain_hash"), F.lit(cfg.num_partitions)).cast("int")
         tagged = (
             frontier.select(pid.alias("partition_id"), F.lit("cand").alias("t"), "domain_hash")
             .unionByName(novel.select(pid.alias("partition_id"), F.lit("novel").alias("t"), "domain_hash"))
             .unionByName(scheduled.select(pid.alias("partition_id"), F.lit("sched").alias("t"), "domain_hash"))
         )
-        lineage = (
+        lineage_rows = (
             tagged.groupBy("partition_id")
             .agg(
                 F.count(F.when(F.col("t") == "cand", 1)).alias("n_candidates"),
@@ -345,32 +415,45 @@ class CrawlFrontier:
                 F.min(F.when(F.col("t") == "sched", F.col("domain_hash"))).alias("hash_range_start"),
                 F.max(F.when(F.col("t") == "sched", F.col("domain_hash"))).alias("hash_range_end"),
             )
-            .withColumn("round", F.lit(round_no))
-            .select(
+            .collect()  # action 4: tiny (≤ num_partitions rows), no committer
+        )
+        lineage_pdf = pd.DataFrame(
+            [
+                {
+                    "round": round_no,
+                    "partition_id": r["partition_id"],
+                    "hash_range_start": r["hash_range_start"],
+                    "hash_range_end": r["hash_range_end"],
+                    "urls_emitted": r["urls_emitted"],
+                    "urls_deduped": r["n_candidates"] - r["n_novel"],
+                    "fetch_budget_consumed": r["urls_emitted"],
+                }
+                for r in sorted(lineage_rows, key=lambda r: r["partition_id"])
+            ],
+            columns=[
                 "round",
                 "partition_id",
                 "hash_range_start",
                 "hash_range_end",
                 "urls_emitted",
-                (F.col("n_candidates") - F.col("n_novel")).alias("urls_deduped"),
-                F.col("urls_emitted").alias("fetch_budget_consumed"),
-            )
+                "urls_deduped",
+                "fetch_budget_consumed",
+            ],
         )
-        ckpt.write(lineage, "lineage", round_no)  # action 5 (tiny)
+        ckpt.write_pdf(lineage_pdf, "lineage", round_no, arrow_schema=_lineage_arrow_schema())
         _mark("lineage_write")
 
         # counts come from the Observations filled by the write actions —
         # no extra jobs
         n_novel = int(obs_novel.get["n"])
-        n_scheduled = int(obs_sched.get["n"])
+        n_scheduled = int(obs_proc.get["n_sched"])
         n_frontier = int(obs_frontier.get["n"])
         novel.unpersist()
-        scheduled.unpersist()
-        seen_delta.unpersist()
+        processed.unpersist()
 
         ckpt.commit_round(
             round_no,
-            {t: f"round={round_no}" for t in ("frontier", "seen", "filters", "scheduled", "lineage")},
+            {t: f"round={round_no}" for t in ("frontier", "filters", "processed", "lineage")},
             extra={"scheduled": n_scheduled, "frontier_size": n_frontier},
         )
         return {

@@ -347,6 +347,60 @@ def robots_gate_rfc(df: DataFrame, robots: DataFrame, broadcast_robots: bool = T
     return joined.withColumn("robots_allowed", allowed)
 
 
+def process_round(
+    candidates: DataFrame,
+    robots: DataFrame,
+    default_budget: int = DEFAULT_BUDGET,
+    round_duration_ms: int = DEFAULT_ROUND_MS,
+    n_salts: int = 16,
+    broadcast_robots: bool = True,
+    robots_mode: str = "prefix",
+) -> DataFrame:
+    """schedule_round + robots retirement as ONE linear plan.
+
+    Returns every candidate row DISPOSED this round: scheduled rows
+    carry ``host_rank`` 1..budget, robots-retired rows carry
+    ``host_rank`` NULL.  Allowed-but-over-budget rows are absent (they
+    stay in the frontier).  Semantically identical to
+    ``schedule_round(..., return_disallowed=True)`` followed by a
+    union — but as a single pass: the two-branch union recomputes the
+    whole gate+rank subtree per branch when its input isn't already
+    materialized (the branches race the cache within one action).
+    The trick is ranking within ``(host, robots_allowed)`` window
+    partitions: allowed rows rank among themselves exactly as in
+    rank_per_host, disallowed rows ride along and get their rank
+    nulled at the end.  Same robots-table one-row-per-host invariant
+    as schedule_round."""
+    df = with_host_and_path(candidates)
+    if robots_mode == "rfc":
+        gated = robots_gate_rfc(df, robots, broadcast_robots)
+        rule_cols = ("rules", "crawl_delay_ms", "max_fetches_per_round")
+    else:
+        gated = robots_gate(df, robots, broadcast_robots)
+        rule_cols = ("disallow_prefixes", "crawl_delay_ms", "max_fetches_per_round")
+    budgeted = with_budget(gated, default_budget, round_duration_ms)
+    allowed = F.col("robots_allowed")
+    order = [F.desc("priority"), F.asc("domain_hash"), F.asc("url_hash")]
+    salted = budgeted.withColumn(
+        "salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int")
+    )
+    w1 = Window.partitionBy("host", "robots_allowed", "salt").orderBy(*order)
+    pruned = (
+        salted.withColumn("salt_rank", F.row_number().over(w1))
+        .filter(~allowed | (F.col("salt_rank") <= F.col("budget")))
+        .drop("salt_rank", "salt")
+    )
+    w2 = Window.partitionBy("host", "robots_allowed").orderBy(*order)
+    ranked = (
+        pruned.withColumn("rk", F.row_number().over(w2))
+        .filter(~allowed | (F.col("rk") <= F.col("budget")))
+    )
+    return (
+        ranked.withColumn("host_rank", F.when(allowed, F.col("rk")))
+        .drop("rk", "robots_allowed", *rule_cols)
+    )
+
+
 def schedule_round(
     candidates: DataFrame,
     robots: DataFrame,

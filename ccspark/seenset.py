@@ -44,6 +44,24 @@ FILTER_SCHEMA = (
 )
 
 
+def filter_arrow_schema():
+    """pyarrow schema physically identical to FILTER_SCHEMA, so a
+    driver-side pyarrow write reads back indistinguishable from a
+    Spark-written filter table (cogroup keys must type-match)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("partition_id", pa.int32()),
+            ("kind", pa.string()),
+            ("hash_count", pa.int32()),
+            ("num_buckets", pa.int64()),
+            ("n_keys", pa.int64()),
+            ("bits", pa.binary()),
+        ]
+    )
+
+
 def compute_best_k(buckets_per_element: int) -> int:
     if buckets_per_element >= len(_OPT_K):
         return _OPT_K[-1]
@@ -453,5 +471,11 @@ def filter_new(
         probed = probe_filters(candidates, filters, num_partitions)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed_new = exact_new_urls(suspect, seen)
+    if seen is None:
+        # nothing crawled yet (round 1): an empty filter can still flag
+        # maybe_seen=false for everything, so suspect is empty — but keep
+        # the plan shape identical for determinism
+        confirmed_new = suspect
+    else:
+        confirmed_new = exact_new_urls(suspect, seen)
     return fresh.unionByName(confirmed_new)

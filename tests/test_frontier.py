@@ -36,9 +36,9 @@ def _cfg(num_partitions=8):
 
 def _spark_trace(spark, ckpt_dir, upto_round):
     fr = CrawlFrontier(spark, ckpt_dir)
-    rows = fr.ckpt.read_all_rounds(spark, "scheduled", upto_round).collect()
+    rows = fr.read_trace(upto_round).collect()
     trace = {(r["round"], r["host"], r["host_rank"], r["canonical_url"]) for r in rows}
-    seen_rows = fr.ckpt.read_all_rounds(spark, "seen", upto_round).collect()
+    seen_rows = fr.read_seen(upto_round).collect()
     seen = {(r["domain_hash"], r["url_hash"]) for r in seen_rows}
     return trace, seen
 
@@ -88,7 +88,7 @@ def test_budget_respected(spark, crawl):
     ckpt, _ = crawl
     fr = CrawlFrontier(spark, ckpt)
     robots = synth.gen_robots_pdf(N_HOSTS, SEED).set_index("host")
-    sched = fr.ckpt.read_all_rounds(spark, "scheduled", ROUNDS).toPandas()
+    sched = fr.read_trace(ROUNDS).toPandas()
     per = sched.groupby(["round", "host"]).size()
     for (rnd, host), cnt in per.items():
         if host in robots.index:
@@ -107,7 +107,7 @@ def test_no_disallowed_scheduled(spark, crawl):
     ckpt, _ = crawl
     fr = CrawlFrontier(spark, ckpt)
     robots = synth.gen_robots_pdf(N_HOSTS, SEED)
-    sched = fr.ckpt.read_all_rounds(spark, "scheduled", ROUNDS).toPandas()
+    sched = fr.read_trace(ROUNDS).toPandas()
     ruled = set(robots["host"])
     for _, row in sched.iterrows():
         if row["host"] in ruled:
@@ -124,7 +124,7 @@ def test_resume_equals_straight_run(spark, tmp_path, crawl):
     # simulate crash debris: a partially-written, uncommitted round
     import os
 
-    debris = os.path.join(ckpt_b, "scheduled", "round=3")
+    debris = os.path.join(ckpt_b, "processed", "round=3")
     os.makedirs(debris, exist_ok=True)
     open(os.path.join(debris, "part-junk.parquet"), "wb").write(b"garbage")
     # resume in a NEW driver object

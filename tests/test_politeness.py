@@ -164,3 +164,52 @@ def test_schedule_round_rfc_mode(spark):
     # per-host ranks are dense from 1
     ranks = [(r["host"], r["host_rank"]) for r in sched.collect()]
     assert ("b.com", 1) in ranks
+
+
+def test_process_round_equals_schedule_round_union(spark):
+    """process_round (single-pass) ≡ schedule_round + disallowed union:
+    same scheduled rows and ranks, same retired identities, and
+    allowed-but-over-budget rows absent from both."""
+    import numpy as np
+
+    from ccspark import synth
+    from ccspark import functions as CF
+    from pyspark.sql import functions as F
+
+    n_hosts = 40
+    robots = synth.gen_robots(spark, n_hosts, 42)
+    raw = synth.gen_seeds(spark, 3000, n_hosts, 42)
+    cands = (
+        CF.with_canonical_urlfp(raw)
+        .filter("url_valid")
+        .groupBy("domain_hash", "url_hash")
+        .agg(
+            F.min("url").alias("url"),
+            F.min("canonical_url").alias("canonical_url"),
+            F.max("priority").alias("priority"),
+        )
+    )
+    sched, disallowed = politeness.schedule_round(
+        cands, robots, default_budget=3, n_salts=4, return_disallowed=True
+    )
+    proc = politeness.process_round(cands, robots, default_budget=3, n_salts=4)
+
+    want_sched = {
+        (r["host"], r["host_rank"], r["canonical_url"]) for r in sched.collect()
+    }
+    got_sched = {
+        (r["host"], r["host_rank"], r["canonical_url"])
+        for r in proc.filter(F.col("host_rank").isNotNull()).collect()
+    }
+    assert got_sched == want_sched and len(want_sched) > 0
+
+    want_retired = {(r["domain_hash"], r["url_hash"]) for r in disallowed.collect()}
+    got_retired = {
+        (r["domain_hash"], r["url_hash"])
+        for r in proc.filter(F.col("host_rank").isNull()).collect()
+    }
+    assert got_retired == want_retired and len(want_retired) > 0
+
+    # over-budget rows are in neither output
+    n_cands = cands.count()
+    assert proc.count() < n_cands
