@@ -608,6 +608,81 @@ def q_charset_decode(spark, sf_dir):
     )
 
 
+# --- q_charset_detect: the DETECTOR path (no meta tag) ---------------------
+# Fixed no-meta page bodies per family; the jchardet port (golden-gated
+# against the compiled reference) detects these as the QUIRK labels below
+# (CharsetUtils.java:190-226 assigns DoIt's return to isAscii, so pages
+# whose detection completes mid-stream surface as "ASCII"; SJIS fires the
+# UTF-16LE verifier).  The oracle predicts the decode output analytically:
+# an "ASCII"-detected page decodes with U+FFFD per non-ASCII BYTE, so the
+# expected stripped text is a pure string transform of the fixed body —
+# computed below WITHOUT running the detector or any Spark code.
+_DETECT_FAMILIES = [
+    ("utf-8", "ドキュメント こんにちは世界 検出テスト " * 12, "ASCII"),
+    ("euc_jp", "日本語の文書です。文字コード判定試験。" * 12, "ASCII"),
+    ("euc_kr", "한국어 문서입니다 문자 인코딩 판별 시험 " * 12, "ASCII"),
+    ("shift_jis", "日本語の文書です。文字コード判定試験。" * 12, "UTF-16LE"),
+]
+
+
+def _detect_expected_prefix(enc: str, body: str) -> str:
+    """Expected extract_text output prefix for an ASCII-detected page:
+    each non-ASCII char -> one U+FFFD per encoded byte, whitespace
+    collapsed; the page text is this prefix + the doc id digits."""
+    import re as _re
+
+    moji = "".join(
+        ch if ord(ch) < 128 else "�" * len(ch.encode(enc)) for ch in body
+    )
+    return _re.sub(r"\s+", " ", moji).strip() + " doc "
+
+
+def q_charset_detect(spark, sf_dir):
+    """P8 detector path (no meta tag): synthesize META-LESS pages in four
+    encodings from the documents table, run the VECTORIZED jchardet port
+    (chardet.detect_batch) + the full decode pipeline, and emit the
+    detected label and an md5 of the extracted text.  The oracle states
+    the expected quirk labels and computes the expected mojibake text
+    analytically — a true end-to-end gate on the detector (the hard part
+    of CharsetUtils, exercised before only by pytest goldens)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ccspark import chardet as ccdet
+    from ccspark import text as cctext
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 400").select("doc_id")
+
+    def _detect_fn(doc_id):
+        payloads = []
+        fams = []
+        for did in doc_id:
+            enc, body, _ = _DETECT_FAMILIES[int(did) % 4]
+            fams.append(int(did) % 4)
+            payloads.append(
+                f"<html><body><p>{body} doc {int(did)}</p></body></html>".encode(enc)
+            )
+        detected = ccdet.detect_batch(payloads)
+        extracted = cctext.extract_text_batch(pd.Series(payloads, index=doc_id.index))
+        md5s = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() if f != 3 and t is not None else None
+            for f, t in zip(fams, extracted)
+        ]
+        return pd.DataFrame(
+            {"detected": detected, "text_md5": md5s}, index=doc_id.index
+        )
+
+    _detect = pandas_udf(_detect_fn, "detected string, text_md5 string")
+    r = docs.select("doc_id", _detect(F.col("doc_id")).alias("_r"))
+    return r.select(
+        "doc_id",
+        F.col("_r.detected").alias("detected"),
+        F.col("_r.text_md5").alias("text_md5"),
+    )
+
+
 def q_ewma(spark, sf_dir):
     """A7 SmoothedAverage analog: per-user EWMA (alpha=0.3) of event
     values via applyInPandas (sequential recurrence per group; rows-only
@@ -678,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mime_filter": q_mime_filter,
         "q_escaped_newlines": q_escaped_newlines,
         "q_charset_decode": q_charset_decode,
+        "q_charset_detect": q_charset_detect,
         "q_ewma": q_ewma,
     }
 
@@ -845,6 +921,19 @@ def oracle_sql() -> dict[str, str]:
             "md5(trim(regexp_replace('d' || CAST(doc_id AS VARCHAR) || ' ' || text || ' ' || "
             "['こんにちは ☃', 'café—naïve', 'café ñ'][CAST(doc_id % 3 AS INT) + 1], '\\s+', ' ', 'g'))) AS text_md5 "
             "FROM documents WHERE doc_id < 300"
+        ),
+        "q_charset_detect": (
+            "SELECT doc_id, "
+            "CASE CAST(doc_id % 4 AS INT) WHEN 3 THEN 'UTF-16LE' ELSE 'ASCII' END AS detected, "
+            "CASE CAST(doc_id % 4 AS INT) "
+            + " ".join(
+                "WHEN {} THEN md5('{}' || CAST(doc_id AS VARCHAR))".format(
+                    i, _detect_expected_prefix(_DETECT_FAMILIES[i][0], _DETECT_FAMILIES[i][1])
+                )
+                for i in range(3)
+            )
+            + " ELSE NULL END AS text_md5 "
+            "FROM documents WHERE doc_id < 400"
         ),
         "q_ewma": (
             "WITH RECURSIVE e AS (SELECT user_id, event_id, value, "

@@ -271,6 +271,324 @@ class NSDetector:
 
 _MAX_CHARS_TO_DETECT = 16000
 
+# ---------------------------------------------------------------------------
+# Vectorized batch detector
+# ---------------------------------------------------------------------------
+#
+# The per-verifier state trajectory over a byte stream is INDEPENDENT of
+# the other verifiers — nsPSMDetector's item_idx bookkeeping only affects
+# reporting order, never state evolution.  So the batch detector runs in
+# two phases:
+#
+#   A. a numpy gather loop over byte positions computes, for every
+#      (document, verifier) pair at once, the byte index at which the
+#      verifier dies (ERROR) or fires (ITSME) — the only O(bytes) work;
+#   B. a tiny per-document replay (O(V²) worst case, V=#verifiers)
+#      consumes those event times and reproduces the EXACT Java
+#      bookkeeping: the swap-with-last removal order (which determines
+#      both ITSME tie-breaks and getProbableCharsets()[0]), the
+#      items<=1 / single-non-UCS2 early exits, the EUC sampler gates,
+#      and the DataEnd GB18030 + last-chance-sampler rules.
+#
+# The EUC sampler's byte scan is also closed-form in numpy: its two-state
+# alternation means a low byte is a violation iff an odd number of high
+# bytes precede it, so counts reduce to cumsum/bincount over the prefix
+# before the first violation.
+#
+# Parity with the scalar port (and therefore with the compiled reference
+# goldens) is gated by tests/test_chardet.py::test_batch_matches_scalar.
+
+_V = len(_ALL_VERIFIERS)
+_CCLASS_ARR = np.array([v.byte_class for v in _ALL_VERIFIERS], dtype=np.uint8)  # (V,256)
+_STF_ARR = np.array([v.n_state for v in _ALL_VERIFIERS], dtype=np.int32)  # (V,)
+_NEXT_ARR = np.full((_V, 256), _E_ERROR, dtype=np.uint8)
+for _i, _v in enumerate(_ALL_VERIFIERS):
+    _NEXT_ARR[_i, : len(_v.next_state)] = _v.next_state
+_NEXT_FLAT = _NEXT_ARR.reshape(-1)
+_VOFF = (np.arange(_V, dtype=np.int32) * 256)[None, :]
+_IS_UCS2_ARR = [v.is_ucs2 for v in _ALL_VERIFIERS]
+_CHARSETS = [v.charset for v in _ALL_VERIFIERS]
+_FAR = 1 << 30
+
+
+# fused absorbing transition table: _T_FULL[v, s, b] = next state of
+# verifier v in state s on byte b, with ERROR (1) and ITSME (2) absorbing
+# — one gather per byte instead of cclass-gather + index-arith + mask.
+_T_FULL = np.empty((_V, 16, 256), dtype=np.int32)
+for _vi, _vv in enumerate(_ALL_VERIFIERS):
+    _cc = np.array(_vv.byte_class, dtype=np.int32)
+    _nx = np.full(256, _E_ERROR, dtype=np.int32)
+    _nx[: len(_vv.next_state)] = _vv.next_state
+    for _s in range(16):
+        if _s in (_E_ERROR, _E_ITSME):
+            _T_FULL[_vi, _s, :] = _s
+        else:
+            _T_FULL[_vi, _s, :] = _nx[(_s * _vv.n_state + _cc) & 0xFF]
+_T_FLAT = _T_FULL.reshape(-1)
+_TBASE = (np.arange(_V, dtype=np.int32) * 4096)[None, :]
+_TRAJ_CHUNK = 256
+
+# absolute pre-shifted transition table: row id = (v*16 + s) * 256, so the
+# phase-A loop body is exactly `state = _T_ABS[state + byte]` — one add and
+# one gather per byte position over the whole (doc, verifier) matrix.
+_T_ABS = np.empty(_V * 16 * 256, dtype=np.int32)
+for _vi in range(_V):
+    for _s in range(16):
+        _T_ABS[(_vi * 16 + _s) * 256 : (_vi * 16 + _s + 1) * 256] = (
+            (_vi * 16 + _T_FULL[_vi, _s]) * 256
+        )
+_TABS_INIT = (np.arange(_V, dtype=np.int32) * 16 * 256)[None, :]  # state 0 per verifier
+
+# byte-PAIR composition of _T_ABS: one add + one gather advances two byte
+# positions at once.  64 MB, built lazily on first batch detection (the
+# table is pure function composition, so bit-identity is preserved);
+# entries are premultiplied by 65536 for the same flat-index trick.
+_T_PAIR: np.ndarray | None = None
+_TPAIR_INIT = (np.arange(_V, dtype=np.int32) * 16 * 65536)[None, :]
+
+
+def _pair_table() -> np.ndarray:
+    global _T_PAIR
+    if _T_PAIR is None:
+        nxt = (_T_ABS >> 8).astype(np.int32).reshape(_V * 16, 256)  # (a,b)->next_a
+        pair = nxt.reshape(-1)[(nxt[:, :, None] << 8) + np.arange(256, dtype=np.int32)]
+        pair <<= 16  # premultiply next_a by 65536
+        _T_PAIR = pair.reshape(-1)
+    return _T_PAIR
+
+
+
+
+def _sampler_counts(data: bytes) -> tuple[bool, int, np.ndarray, np.ndarray]:
+    """Closed-form nsEUCSampler scan → (valid, total, first_cnt, second_cnt)
+    — counts cover the prefix strictly before the first violation."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    high = arr >= 0x80
+    bad_high = high & ((arr == 0xFF) | (arr < 0xA1))
+    cum = np.cumsum(high)  # highs up to and including position i
+    bad_low = (~high) & ((cum & 1) == 1)  # low byte while expecting 2nd byte
+    viol = np.flatnonzero(bad_high | bad_low)
+    cut = int(viol[0]) if len(viol) else len(arr)
+    vals = arr[: cut][high[: cut]].astype(np.int64) - 0xA1
+    first = np.bincount(vals[0::2], minlength=94)
+    second = np.bincount(vals[1::2], minlength=94)
+    return len(viol) == 0, int(len(vals)), first, second
+
+
+def _sampler_score(stats: dict, first_freq: np.ndarray, second_freq: np.ndarray) -> float:
+    a = np.asarray(stats["mFirstByteFreq"]) - first_freq
+    b = np.asarray(stats["mSecondByteFreq"]) - second_freq
+    return stats["mFirstByteWeight"] * (float(a @ a) ** 0.5 / 94.0) + stats[
+        "mSecondByteWeight"
+    ] * (float(b @ b) ** 0.5 / 94.0)
+
+
+def _scan_events(death: np.ndarray, itsme: np.ndarray, upto: int):
+    """Exact nsPSMDetector byte-loop bookkeeping from event times < upto:
+    returns (item_idx, items, done).  done=True means DoIt completed
+    mid-stream → the caller returns "ASCII" (the isAscii quirk);
+    reconstruction from scratch is O(V log V + events·V)."""
+    item_idx = list(range(_V))
+    items = _V
+    events = sorted({int(x) for x in death.tolist() + itsme.tolist() if x < upto})
+    for t in events:
+        j = 0
+        while j < items:
+            v = item_idx[j]
+            if itsme[v] == t:
+                return item_idx, items, True  # ITSME report mid-stream
+            if death[v] == t:
+                items -= 1
+                item_idx[j] = item_idx[items]
+            else:
+                j += 1
+        if items <= 1:
+            return item_idx, items, True  # done (report or items==0)
+        non_ucs2 = sum(1 for k in range(items) if not _IS_UCS2_ARR[item_idx[k]])
+        if non_ucs2 == 1:
+            return item_idx, items, True
+    return item_idx, items, False
+
+
+def _finish(data: bytes, item_idx: list, items: int) -> str:
+    """End-of-buffer Sample() + DataEnd for a doc that survived the byte
+    scan: the sampler gates, GB18030 two-survivor rule, last-chance
+    scoring, then probable[0] / nomatch."""
+    samp_valid, samp_total, first_cnt, second_cnt = _sampler_counts(data)
+
+    def euc_possible():
+        e = sum(1 for k in range(items) if item_idx[k] in _STATS_BY_INDEX)
+        p = sum(
+            1
+            for k in range(items)
+            if not _IS_UCS2_ARR[item_idx[k]]
+            and _CHARSETS[item_idx[k]] != "GB18030"
+        )
+        return e, p
+
+    def sample_score(last_chance: bool):
+        if not ((last_chance and samp_total > 1) or samp_total > 200):
+            return None
+        t = float(samp_total)
+        ff = first_cnt / t
+        sf = second_cnt / t
+        best_idx, best_score, euc_cnt = -1, 0.0, 0
+        for j in range(items):
+            v = item_idx[j]
+            key = _STATS_BY_INDEX.get(v)
+            if key is not None and _CHARSETS[v] != "Big5":
+                score = _sampler_score(STATISTICS[key], ff, sf)
+                if euc_cnt == 0 or best_score > score:
+                    best_score, best_idx = score, j
+                euc_cnt += 1
+        return _CHARSETS[item_idx[best_idx]] if best_idx >= 0 else None
+
+    detected: str | None = None
+    # ---- end-of-buffer Sample() inside handle_data ----
+    euc_num, possible = euc_possible()
+    run_sampler = euc_num > 1
+    if run_sampler:
+        run_sampler = samp_valid
+        if samp_valid and samp_total > 200 and euc_num == possible:
+            if sample_score(last_chance=False) is not None:
+                return "ASCII"  # reported during DoIt → isAscii quirk
+    # ---- DataEnd ----
+    if items == 2:
+        c0, c1 = _CHARSETS[item_idx[0]], _CHARSETS[item_idx[1]]
+        if c0 == "GB18030":
+            detected = c1
+        elif c1 == "GB18030":
+            detected = c0
+    if run_sampler:
+        euc_num, possible = euc_possible()
+        if euc_num > 1 and samp_valid and euc_num == possible:
+            got = sample_score(last_chance=True)
+            if got is not None:
+                detected = got
+    if detected is not None:
+        return detected
+    if items <= 0:
+        return "nomatch"
+    return _CHARSETS[item_idx[0]]
+
+
+def _detect_nonascii_batch(datas: list) -> list:
+    """Chunked phase-A gather with per-chunk finalization: docs whose
+    detection completes (or whose stream is exhausted, or whose verifier
+    set is fully absorbed — no further events possible) leave the matrix,
+    so the gather work tracks the scalar port's early exits."""
+    D = len(datas)
+    results: list = [None] * D
+    lengths = np.array([len(d) for d in datas], dtype=np.int32)
+    L = int(lengths.max())
+    L += L & 1  # even for byte-pair stepping; zero padding is event-inert
+    mati = np.zeros((D, L), dtype=np.int32)
+    for k, d in enumerate(datas):
+        mati[k, : len(d)] = np.frombuffer(d, dtype=np.uint8)
+    # (L/2, D) byte-pair matrix, row-contiguous per step
+    pairT = np.ascontiguousarray(((mati[:, 0::2] << 8) | mati[:, 1::2]).T)
+    tpair = _pair_table()
+    active = np.arange(D)
+    # state is the PRE-SHIFTED absolute row id ((v*16 + s) * 65536): the
+    # inner loop is one add + one take per TWO bytes over the whole
+    # matrix, both writing into preallocated buffers
+    state = np.broadcast_to(_TPAIR_INIT, (D, _V)).copy()
+    buf = np.empty_like(state)
+    death = np.full((D, _V), _FAR, dtype=np.int32)
+    itsme = np.full((D, _V), _FAR, dtype=np.int32)
+    finished = np.zeros(D, dtype=bool)
+    for c0 in range(0, L, _TRAJ_CHUNK):
+        if len(active) == 0:
+            break
+        c1 = min(c0 + _TRAJ_CHUNK, L)
+        snap = state.copy()
+        for tp in range(c0 >> 1, c1 >> 1):
+            np.add(state, pairT[tp][:, None], out=buf)
+            np.take(tpair, buf, out=state)
+        local = (state >> 16) & 15
+        absorbed = (local == _E_ERROR) | (local == _E_ITSME)
+        snap_local = (snap >> 16) & 15
+        newly = absorbed & (snap_local != _E_ERROR) & (snap_local != _E_ITSME)
+        if newly.any():
+            # exact absorption times: scalar walk over ≤1 chunk per cell
+            # (each cell absorbs once → O(V·chunk) per doc total)
+            for d, v in zip(*np.nonzero(newly)):
+                s = int(snap_local[d, v])
+                row = mati[d]
+                tbl = _T_FULL[v]
+                for t in range(c0, c1):
+                    s = int(tbl[s, row[t]])
+                    if s == _E_ERROR:
+                        death[d, v] = t
+                        break
+                    if s == _E_ITSME:
+                        itsme[d, v] = t
+                        break
+        # a row's done/finish status can only change when it gained an
+        # event this chunk or its stream just ended — scan only those
+        dirty = newly.any(axis=1) | (lengths <= c1) & (lengths > c0)
+        if not dirty.any() and c1 < L:
+            continue
+        n_live = 0
+        for r in range(len(active)):
+            if finished[r]:
+                continue
+            if not dirty[r] and c1 < L and lengths[r] > c1:
+                n_live += 1
+                continue
+            n = int(lengths[r])
+            item_idx, items, done = _scan_events(death[r], itsme[r], min(c1, n))
+            if done:
+                results[active[r]] = "ASCII"  # DoIt returned True (quirk)
+                finished[r] = True
+            elif n <= c1 or absorbed[r].all():
+                # stream exhausted, or no further events possible — the
+                # sampler consumes the raw bytes independently of phase A
+                results[active[r]] = _finish(datas[active[r]], item_idx, items)
+                finished[r] = True
+            else:
+                n_live += 1
+        # compact only when it pays for the matrix copies it triggers
+        # (finished rows left in place just gather into absorbed cells)
+        if n_live == 0 or n_live <= 0.7 * len(active):
+            sel = np.flatnonzero(~finished)
+            active = active[sel]
+            state = np.ascontiguousarray(state[sel])
+            buf = np.empty_like(state)
+            death = death[sel]
+            itsme = itsme[sel]
+            mati = mati[sel]
+            pairT = np.ascontiguousarray(pairT[:, sel])
+            lengths = lengths[sel]
+            finished = np.zeros(len(active), dtype=bool)
+    return results
+
+
+def detect_batch(contents) -> list:
+    """Vectorized CharsetUtils.detectCharacterEncoding over a batch —
+    bit-identical to detect_character_encoding per document (parity
+    test + the compiled-reference goldens)."""
+    n = len(contents)
+    results: list = [None] * n
+    work_i: list[int] = []
+    work_data: list[bytes] = []
+    for i, c in enumerate(contents):
+        if c is None or len(c) == 0:
+            continue
+        data = bytes(c)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if not (arr >= 0x80).any():
+            results[i] = "ASCII"
+            continue
+        work_i.append(i)
+        work_data.append(data[:_MAX_CHARS_TO_DETECT])
+    if not work_i:
+        return results
+    got = _detect_nonascii_batch(work_data)
+    for k, i in enumerate(work_i):
+        results[i] = got[k]
+    return results
+
 
 def detect_character_encoding(content: bytes | None) -> str | None:
     """Verbatim port of CharsetUtils.detectCharacterEncoding

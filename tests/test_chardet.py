@@ -164,3 +164,40 @@ def test_decode_html_utf8_detected():
     out, _ = text.decode_html(raw)
     if detected == "UTF-8":
         assert "☃" in out
+
+
+def test_batch_matches_scalar_on_goldens():
+    names = sorted(GOLDEN)
+    got = chardet.detect_batch([_FX[n] for n in names])
+    for n, g in zip(names, got):
+        assert g == GOLDEN[n], n
+        assert g == chardet.detect_character_encoding(_FX[n]), n
+
+
+def test_batch_matches_scalar_fuzz():
+    """Random byte soups + structured legacy-encoding payloads: the
+    vectorized batch detector must be bit-identical to the scalar port."""
+    import random
+
+    rnd = random.Random(99)
+    cases: list[bytes | None] = [None, b"", b"plain ascii only"]
+    # random soups biased toward high bytes (exercise verifier deaths,
+    # ITSME, the items<=1 path, sampler violations)
+    for _ in range(120):
+        n = rnd.randrange(1, 400)
+        cases.append(bytes(rnd.randrange(0, 256) for _ in range(n)))
+    # valid legacy payloads (exercise the sampler scoring + GB18030 rule)
+    texts = ["漢字テスト" * 40, "한국어 텍스트 " * 40, "中文测试内容" * 40]
+    for enc in ("shift_jis", "euc_jp", "euc_kr", "gb2312", "big5", "utf-8", "utf-16-le"):
+        for t in texts:
+            try:
+                cases.append(("<html>" + t + "</html>").encode(enc, errors="ignore"))
+            except LookupError:
+                pass
+    # long docs crossing the 16000-byte truncation boundary
+    cases.append(("x" * 15990 + "漢字だよ").encode("euc_jp"))
+    cases.append(b"\xa1\xa1" * 9000)
+    got = chardet.detect_batch(cases)
+    for i, c in enumerate(cases):
+        want = chardet.detect_character_encoding(c)
+        assert got[i] == want, (i, want, got[i], (c or b"")[:40])

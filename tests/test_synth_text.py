@@ -103,3 +103,41 @@ def test_robots_table(spark):
     assert (pdf["max_fetches_per_round"] >= 1).all()
     assert pdf["crawl_delay_ms"].isna().any()
     assert pdf["disallow_prefixes"].map(len).isin([1, 2]).all()
+
+
+def test_batch_decode_and_extract_match_scalar():
+    """decode_batch / extract_text_batch (vectorized detector + pandas
+    markup strip) must equal decode_html / extract_text row-for-row,
+    including gzip, meta-sniffed, detector-only, and None rows."""
+    import pandas as pd
+
+    from ccspark import text
+
+    legacy = "<html><body>漢字テスト頁面" * 30 + "</body></html>"
+    cases = [
+        None,
+        b"",
+        b"<html><body>plain ascii</body></html>",
+        ("<html><head><meta http-equiv=\"Content-Type\" "
+         "content=\"text/html; charset=shift_jis\"></head>"
+         + legacy).encode("shift_jis"),
+        legacy.encode("euc_jp"),              # no meta -> detector path
+        legacy.encode("gb2312", "ignore"),    # no meta -> detector path
+        "déjà vu café".encode("utf-8"),
+    ]
+    import gzip as _gz
+
+    cases.append(_gz.compress(b"<html>gz body here</html>"))
+    cases.append(_gz.compress(legacy.encode("euc_kr", "ignore"))[:40])  # truncated gzip
+    s = pd.Series(cases, dtype=object)
+    got = text.decode_batch(s)
+    for i, c in enumerate(cases):
+        want_text, want_trunc = text.decode_html(c)
+        assert got["html_text"].iloc[i] == want_text or (
+            got["html_text"].iloc[i] is None and want_text is None
+        ), i
+        assert bool(got["truncated"].iloc[i]) == want_trunc, i
+    ext = text.extract_text_batch(s)
+    for i, c in enumerate(cases):
+        want = text.extract_text(c)
+        assert ext.iloc[i] == want or (ext.iloc[i] is None and want is None), i
