@@ -529,24 +529,59 @@ def q_domain_validate(spark, sf_dir):
     )
 
 
+# 20 content types spanning every branch of the MimeTypeFilter cascade:
+# binary/excluded prefixes, text-primary html promotion, invalid
+# extensions, +xml left/right parts, vnd./x- stripped app sets,
+# truncation garbage, an embedded line terminator (Java full-match
+# failure -> NO_TYPE), and NULL.  Expected dispositions are fixed by the
+# reference cascade (MimeTypeFilter.java:212-330) and stated as literals
+# in the oracle.
+_MIME_CASES = [
+    ("text/html; charset=utf-8", "ACCEPT_HTML"),
+    ("application/json", "ACCEPT_TEXT"),
+    ("image/png", "REJECT"),
+    ("application/xhtml+xml", "ACCEPT_HTML"),
+    ("application/octet-stream", "REJECT"),
+    ("application/vnd.ms-excel", "ACCEPT_OTHER"),
+    ("application/x-httpd-php", "ACCEPT_TEXT"),
+    ("application/rdf+xml", "ACCEPT_TEXT"),
+    ("chemical/x-pdb", "REJECT"),
+    ("multipart/mixed", "ACCEPT_TEXT"),
+    ("application/pdf", "ACCEPT_TEXT"),
+    ("  Text/HTML\r", "ACCEPT_OTHER"),
+    ("application/mpeg", "REJECT"),
+    ("video/mp4", "REJECT"),
+    ("!!garbage!!", "REJECT"),
+    ("application/atom+xml", "ACCEPT_TEXT"),
+    (None, "ACCEPT_OTHER"),
+    ("text/vnd.wap.wml", "ACCEPT_TEXT"),
+    ("application/x-shockwave-flash", "ACCEPT_OTHER"),
+    ("plugin/whatever", "REJECT"),
+]
+
+
 def q_mime_filter(spark, sf_dir):
-    """P7 MIME classification over a derived content-type column."""
-    from ccspark import scalar_ops
+    """P7 MIME classification via the FULL MimeTypeFilter port
+    (mime.disposition_col — the pure-Catalyst layer of the faithful
+    cascade, golden-gated against the compiled reference), over 20
+    disposition-distinct content types incl. vnd./x- prefixes, +xml
+    suffixes, truncation and embedded-terminator cases."""
+    from ccspark import mime as ccmime
 
     ev = _load(spark, sf_dir, "events")
-    mime = (
-        F.when(F.col("event_type") == "click", F.lit("text/html; charset=utf-8"))
-        .when(F.col("event_type") == "view", F.lit("application/json"))
-        .when(F.col("event_type") == "signup", F.lit("image/png"))
-        .when(F.col("event_type") == "purchase", F.lit("application/xhtml+xml"))
-        .otherwise(F.lit("application/octet-stream"))
-    )
-    df = ev.select("event_id", mime.alias("mime"))
+    m = F.col("event_id") % 20
+    mime_col = F.lit(None).cast("string")
+    for i, (t, _) in enumerate(_MIME_CASES):
+        if t is not None:
+            mime_col = F.when(m == i, F.lit(t)).otherwise(mime_col)
+    df = ev.select("event_id", mime_col.alias("mime"))
+    disp = ccmime.disposition_col(F.col("mime"))
     return df.select(
         "event_id",
         "mime",
-        scalar_ops.is_text_type(F.col("mime")).alias("is_text"),
-        scalar_ops.is_html_type(F.col("mime")).alias("is_html"),
+        disp.alias("disposition"),
+        ccmime.is_text_type(F.col("mime")).alias("is_text"),
+        ccmime.is_html_type(F.col("mime")).alias("is_html"),
     )
 
 
@@ -877,12 +912,24 @@ def oracle_sql() -> dict[str, str]:
             "AND len(string_split(lower(host), '.')) <= 128)) AS valid FROM t"
         ),
         "q_mime_filter": (
-            "WITH m AS (SELECT event_id, CASE event_type WHEN 'click' THEN 'text/html; charset=utf-8' "
-            "WHEN 'view' THEN 'application/json' WHEN 'signup' THEN 'image/png' "
-            "WHEN 'purchase' THEN 'application/xhtml+xml' ELSE 'application/octet-stream' END AS mime FROM events) "
-            "SELECT event_id, mime, "
-            "regexp_matches(lower(trim(mime)), '^text/.*|^application/(xml|json|javascript|x-javascript|xhtml\\+xml|rss\\+xml|atom\\+xml)\\b.*') AS is_text, "
-            "regexp_matches(lower(trim(mime)), '^text/html\\b.*|^application/xhtml\\+xml\\b.*') AS is_html FROM m"
+            "WITH m AS (SELECT event_id, CASE CAST(event_id % 20 AS INT) "
+            + " ".join(
+                "WHEN {} THEN {}".format(
+                    i,
+                    "NULL"
+                    if t is None
+                    else "'" + t.replace("\r", "' || chr(13) || '") + "'",
+                )
+                for i, (t, _) in enumerate(_MIME_CASES)
+            )
+            + " END AS mime, CASE CAST(event_id % 20 AS INT) "
+            + " ".join(
+                f"WHEN {i} THEN '{d}'" for i, (_, d) in enumerate(_MIME_CASES)
+            )
+            + " END AS disposition FROM events) "
+            "SELECT event_id, mime, disposition, "
+            "disposition IN ('ACCEPT_TEXT', 'ACCEPT_HTML') AS is_text, "
+            "disposition = 'ACCEPT_HTML' AS is_html FROM m"
         ),
         "q_escaped_newlines": (
             "WITH t AS (SELECT event_id, event_type || chr(10) || props || chr(9) || '!' AS raw "
