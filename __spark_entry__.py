@@ -340,12 +340,45 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+# Planted near-dup texts with PRECOMPUTED simhash hamming distances
+# (single-token edits of a fixed base; hammings verified against the
+# golden-gated simhash port at authoring time).  Pairwise: (0,1)=1,
+# (0,2)=2, (0,3)=3, (1,2)=3, (1,3)=4, (2,3)=5 — so at max_hamming=3 the
+# 4x16-bit banding (complete for hamming<=3 by pigeonhole) must emit
+# EXACTLY {(0,1),(0,2),(0,3),(1,2)} with those distances.
+_SIMHASH_BASE = (
+    "the quick brown fox jumps over the lazy dog while the crawler "
+    "fetches pages politely respecting robots and budgets across many "
+    "hosts and rounds of scheduled work in the frontier loop today"
+)
+_SIMHASH_PLANTED = [
+    _SIMHASH_BASE,
+    _SIMHASH_BASE.replace("over the lazy", "over thin lazy"),   # hamming 1
+    _SIMHASH_BASE.replace("over the lazy", "over fire lazy"),   # hamming 2
+    "fish" + _SIMHASH_BASE[3:],                                 # hamming 3
+]
+_SIMHASH_PLANT_ID = 30000
+
+
 def q_simhash_near_dup(spark, sf_dir):
-    """SimHash banding near-dup pairs (rows-only check)."""
+    """SimHash banded near-dup detection at hamming 1..3, oracled: four
+    planted texts with precomputed pairwise hammings ride through the
+    banding together with 1000 corpus documents; the banding must
+    recall exactly the <=3 planted pairs (guaranteed complete for
+    hamming<=3), and the output is filtered to the planted id range so
+    chance corpus collisions cannot perturb the expected set."""
     from ccspark import dedup
 
-    docs = _load(spark, sf_dir, "documents").filter("doc_id < 1000")
-    return dedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=10)
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 1000").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [(int(_SIMHASH_PLANT_ID + i), t) for i, t in enumerate(_SIMHASH_PLANTED)],
+        "doc_id long, text string",
+    )
+    u = docs.unionByName(planted)
+    pairs = dedup.simhash_near_dups(u, "doc_id", "text", max_hamming=3)
+    return pairs.filter(
+        (F.col("id_a") >= _SIMHASH_PLANT_ID) & (F.col("id_b") >= _SIMHASH_PLANT_ID)
+    ).select("id_a", "id_b", "hamming")
 
 
 def q_simhash_dup(spark, sf_dir):
@@ -402,8 +435,14 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-cell ANN top-k (approximate scale path; rows-only check)."""
+    """IVF-cell ANN top-k (approximate scale path, nprobe < n_cells),
+    oracled via a recall-containment gate: every IVF hit must sit inside
+    the EXACT cosine top-50 (the exact ranks come from the same
+    brute-force scorer that q_ann_cosine_topk gates against DuckDB), and
+    the ranked recall flags are compared against the oracle's expected
+    constants."""
     import numpy as np
+    from pyspark.sql import Window
 
     from ccspark import ann
 
@@ -412,7 +451,24 @@ def q_ann_ivf(spark, sf_dir):
     cents = ann.fit_centroids(sample, "embedding", n_cells=8, seed=5, sample=1000, iters=3)
     indexed = ann.assign_cells(emb, "embedding", cents)
     q = np.array(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"], dtype=np.float64)
-    return ann.ivf_topk(indexed.filter("vec_id <> 0"), "embedding", "vec_id", cents, q, k=10, nprobe=3)
+    base = indexed.filter("vec_id <> 0")
+    ivf = ann.ivf_topk(base, "embedding", "vec_id", cents, q, k=10, nprobe=3)
+    # exact ranks over the full corpus (no cell pruning)
+    cos = ann._cosine_udf(q)
+    exact = base.select(
+        "vec_id", F.round(cos(F.col("embedding")), 4).alias("sim")
+    ).select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), F.asc("vec_id")))
+        .alias("exact_rank"),
+    )
+    joined = ivf.join(exact, "vec_id", "left")
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return joined.select(
+        F.row_number().over(w).alias("ivf_rank"),
+        (F.col("exact_rank") <= 50).alias("in_exact_top50"),
+    )
 
 
 def q_embed_near_dup(spark, sf_dir):
@@ -433,16 +489,44 @@ def q_embed_near_dup(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal feature-extraction plumbing (stubbed decode; rows-only)."""
-    from ccspark import multimodal
+    """REAL audio decode end to end: synthesize a constant-amplitude
+    square-wave 16-bit-PCM WAV per document (length and amplitude
+    derived from doc_id), run the actual stdlib WAV decoder through the
+    multimodal feature extractor, and emit (duration, rms, peak) — a
+    ±A square wave has rms == peak == A and duration n/rate, all
+    exactly predictable in SQL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    docs = (
-        _load(spark, sf_dir, "documents")
-        .filter("doc_id < 200")
-        .withColumn("payload", F.encode("text", "utf-8"))
+    from ccspark import media, multimodal
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 200").select("doc_id")
+
+    def _mk_wav(doc_id):
+        import numpy as np
+
+        out = []
+        for did in doc_id:
+            d = int(did)
+            n = 100 + d % 50
+            amp = 100 + (d * 3) % 1000
+            samples = np.where(np.arange(n) % 2 == 0, amp, -amp).astype("<i2")
+            out.append(media.encode_wav(samples, sample_rate=8000))
+        return pd.Series(out, index=doc_id.index)
+
+    mk_wav = pandas_udf(_mk_wav, "binary")
+    payloads = docs.withColumn("payload", mk_wav(F.col("doc_id")))
+    feats = multimodal.extract_features(payloads, "doc_id", "payload", media_type="audio")
+    # no rounding needed: rms of a ±A square wave is exactly A in IEEE
+    # double (integer squares < 2^53, exact sqrt of a perfect square),
+    # and duration is the same n/8000.0 division on both engines
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.element_at("features", 1).alias("duration_s"),
+        F.element_at("features", 2).alias("rms"),
+        F.element_at("features", 3).alias("peak"),
     )
-    feats = multimodal.extract_features(docs, "doc_id", "payload", deterministic_fake=True)
-    return feats.select("doc_id", "n_bytes", "width", "height", F.size("features").alias("n_features"))
 
 
 def q_media_decode(spark, sf_dir):
@@ -954,6 +1038,23 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_near_dup": (
             "SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine "
             "FROM embeddings WHERE vec_id < 50"
+        ),
+        "q_simhash_near_dup": (
+            "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+            "CAST(hamming AS INT) AS hamming FROM (VALUES "
+            "(30000, 30001, 1), (30000, 30002, 2), (30000, 30003, 3), "
+            "(30001, 30002, 3)) t(id_a, id_b, hamming)"
+        ),
+        "q_ann_ivf": (
+            "SELECT CAST(g AS INT) AS ivf_rank, TRUE AS in_exact_top50 "
+            "FROM generate_series(1, 10) t(g)"
+        ),
+        "q_media_features": (
+            "SELECT doc_id, CAST(44 + 2 * (100 + doc_id % 50) AS BIGINT) AS n_bytes, "
+            "(100 + doc_id % 50) / 8000.0 AS duration_s, "
+            "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS rms, "
+            "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS peak "
+            "FROM documents WHERE doc_id < 200"
         ),
         "q_media_decode": (
             "SELECT doc_id, CAST(4 + doc_id % 8 AS INT) AS width, "
