@@ -64,6 +64,101 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def _reconstruct_filters(
+    lines: np.ndarray, ftypes: np.ndarray, width: int, bpp: int
+) -> np.ndarray:
+    """Vectorized PNG filter reconstruction (RFC 2083 §6.2-6.6).
+
+    Rows are processed as maximal same-kind runs:
+
+    * None (0) and Up (2) rows are a column-wise uint8 cumulative sum
+      (wraparound is the mod-256 the spec wants) seeded by the previous
+      decoded row;
+    * Sub (1) rows depend only on their own bytes — a pixel-axis uint8
+      cumsum per row;
+    * Average (3) / Paeth (4) runs use an ANTI-DIAGONAL WAVEFRONT: cell
+      (y, x) needs left (y, x-1), up (y-1, x) and up-left (y-1, x-1),
+      all on earlier anti-diagonals, so each diagonal is computed in one
+      vector step — R+W-1 numpy steps for an R×W run instead of R·W·bpp
+      per-byte Python with per-pixel array allocations."""
+    height, stride = lines.shape
+    wp = width  # pixels per row; lanes = bpp bytes per pixel
+    out = np.zeros((height, stride), dtype=np.uint8)
+
+    # rows needing the wavefront (Average/Paeth), with short 0/1/2 gaps
+    # between them merged in: a 1-row wavefront still pays W diagonal
+    # steps, so fragmenting into tiny segments is the worst case — one
+    # merged segment costs (R + W - 1) steps total
+    wave = ftypes >= 3
+    widx = np.flatnonzero(wave)
+    for a, b in zip(widx[:-1], widx[1:]):
+        if 0 < b - a - 1 < 16:
+            wave[a:b] = True
+
+    y = 0
+    while y < height:
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if not wave[y]:
+            f = int(ftypes[y])
+            if f in (0, 2):
+                y1 = y
+                while y1 + 1 < height and ftypes[y1 + 1] == 2 and not wave[y1 + 1]:
+                    y1 += 1
+                block = lines[y : y1 + 1].copy()
+                if f == 2:
+                    block[0] += prev  # uint8 wraparound
+                # Up rows accumulate down the columns (mod 256)
+                np.cumsum(block, axis=0, dtype=np.uint8, out=block)
+                out[y : y1 + 1] = block
+                y = y1 + 1
+            else:  # Sub: pixel-axis prefix sum, rows independent
+                y1 = y
+                while y1 + 1 < height and ftypes[y1 + 1] == 1 and not wave[y1 + 1]:
+                    y1 += 1
+                block = lines[y : y1 + 1].reshape(y1 + 1 - y, wp, bpp)
+                out[y : y1 + 1] = np.cumsum(block, axis=1, dtype=np.uint8).reshape(
+                    y1 + 1 - y, stride
+                )
+                y = y1 + 1
+        else:  # anti-diagonal wavefront over the merged segment
+            y1 = y
+            while y1 + 1 < height and wave[y1 + 1]:
+                y1 += 1
+            r = y1 + 1 - y
+            cur = lines[y : y1 + 1].reshape(r, wp, bpp).astype(np.int16)
+            fk = ftypes[y : y1 + 1]
+            # padded buffer: row 0 = previous decoded row, col 0 = zeros
+            buf = np.zeros((r + 1, wp + 1, bpp), dtype=np.int16)
+            buf[0, 1:, :] = prev.reshape(wp, bpp)
+            for k in range(r + wp - 1):
+                ys = np.arange(max(0, k - wp + 1), min(r, k + 1))
+                xs = k - ys
+                left = buf[ys + 1, xs]
+                up = buf[ys, xs + 1]
+                ul = buf[ys, xs]
+                p = left + up - ul
+                pa = np.abs(p - left)
+                pb = np.abs(p - up)
+                pc = np.abs(p - ul)
+                pae = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+                fks = fk[ys][:, None]
+                pred = np.where(
+                    fks == 0,
+                    0,
+                    np.where(
+                        fks == 1,
+                        left,
+                        np.where(
+                            fks == 2, up, np.where(fks == 3, (left + up) >> 1, pae)
+                        ),
+                    ),
+                )
+                buf[ys + 1, xs + 1] = (cur[ys, xs] + pred) & 0xFF
+            out[y : y1 + 1] = buf[1:, 1:, :].astype(np.uint8).reshape(r, stride)
+            y = y1 + 1
+    return out
+
+
 def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """PNG bytes → (width, height, channels, uint8 H×W×C array)."""
     if data[:8] != _PNG_MAGIC:
@@ -93,40 +188,16 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(b"".join(idat))
     stride = width * channels
-    out = np.zeros((height, stride), dtype=np.uint8)
     bpp = channels  # bytes per pixel at depth 8
-    off = 0
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        ftype = raw[off]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).copy()
-        off += 1 + stride
-        if ftype == 0:
-            cur = line
-        elif ftype == 1:  # Sub
-            cur = line
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif ftype == 3:  # Average
-            cur = line
-            for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = line
-            for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else np.uint8(0)
-                ul = prev[x - bpp] if x >= bpp else np.uint8(0)
-                cur[x] = (
-                    int(cur[x])
-                    + int(_paeth(np.array(left), np.array(prev[x]), np.array(ul)))
-                ) & 0xFF
-        else:
-            raise ValueError(f"bad filter {ftype}")
-        out[y] = cur
-        prev = out[y]
+    # split scanlines into (ftypes, filtered-line matrix) once
+    rawa = np.frombuffer(raw, dtype=np.uint8, count=height * (1 + stride)).reshape(
+        height, 1 + stride
+    )
+    ftypes = rawa[:, 0].astype(np.int64)
+    if (ftypes > 4).any():
+        raise ValueError(f"bad filter {int(ftypes[ftypes > 4][0])}")
+    lines = rawa[:, 1:]
+    out = _reconstruct_filters(lines, ftypes, width, bpp)
     img = out.reshape(height, width, channels)
     if color_type == 3:
         if palette is None:

@@ -128,3 +128,66 @@ def test_multimodal_real_decode(spark):
     assert out[1]["features"][0] == pytest.approx(77.0)
     assert out[2]["features"][0] == pytest.approx(0.1)  # duration 800/8000
     assert out[2]["features"][2] == pytest.approx(5000.0)
+
+
+def test_png_filter_reconstruction_wavefront_parity_fuzz():
+    """The vectorized reconstruction (cumsum runs + anti-diagonal
+    wavefront) must be byte-identical to a straightforward per-byte
+    reference implementation across random sizes/channel counts/filter
+    sequences."""
+    import numpy as np
+
+    def scalar_recon(lines, ftypes, width, bpp):
+        h, stride = lines.shape
+        out = np.zeros((h, stride), np.uint8)
+        prev = np.zeros(stride, np.int32)
+        for y in range(h):
+            f = int(ftypes[y])
+            line = lines[y].astype(np.int32)
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = left
+                elif f == 2:
+                    pred = up
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                cur[x] = (line[x] + pred) & 0xFF
+            out[y] = cur
+            prev = cur
+        return out
+
+    rng = np.random.default_rng(23)
+    for _ in range(10):
+        w = int(rng.integers(1, 32))
+        h = int(rng.integers(1, 32))
+        bpp = int(rng.choice([1, 2, 3, 4]))
+        lines = rng.integers(0, 256, (h, w * bpp)).astype(np.uint8)
+        fts = rng.integers(0, 5, h).astype(np.int64)
+        got = media._reconstruct_filters(lines, fts, w, bpp)
+        want = scalar_recon(lines, fts, w, bpp)
+        assert (got == want).all(), (w, h, bpp, fts.tolist())
+
+
+def test_png_filter_reconstruction_1mp_speed():
+    """1-MP all-Paeth image reconstructs in well under a second (the
+    old per-byte Python path took tens of seconds)."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    lines = rng.integers(0, 256, (600, 600 * 3)).astype(np.uint8)
+    fts = np.full(600, 4, np.int64)
+    t0 = time.time()
+    media._reconstruct_filters(lines, fts, 600, 3)
+    assert time.time() - t0 < 1.0
