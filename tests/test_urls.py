@@ -276,3 +276,34 @@ def test_idn_batch_parity():
     batch = urls.canonicalize_batch(s)
     for i, (_, want) in enumerate(IDN_CASES):
         assert batch.iloc[i] == want
+
+
+def test_ipv6_literal_hosts_rejected_like_reference():
+    """IPv6 bracketed hosts canonicalize to None — and that IS the
+    reference's behavior, not a divergence: the vendored Gears-era
+    googleurl has no IPv6 canonicalizer (CanonicalizeIPAddress handles
+    IPv4 only, url_canon_ip.cc:245-260, and ':' maps to 0/invalid in
+    kHostCharLookup, url_canon_host.cc:80-86), so DoSimpleHost fails the
+    host (url_canon_host.cc:216-221), GoogleURL.isValid() is false, and
+    URLUtils.canonicalizeURL throws MalformedURLException
+    (URLUtils.java:360-362).  The fingerprint side (URLFPV2 null) was
+    already aligned; this pins the canonical-string surface too."""
+    import pandas as pd
+
+    from ccspark import urlkernel as K
+    from ccspark import urls as U
+
+    cases = [
+        "http://[::1]/a",
+        "https://[2001:db8::1]/x?q=1",
+        "http://[2001:0db8:0000:0000:0000:ff00:0042:8329]:8080/p",
+        "ftp://[fe80::1%25eth0]/f",
+        "http://[::ffff:192.0.2.1]/",
+        "HTTP://[::1]:80/a",
+    ]
+    for u in cases:
+        assert U.canonicalize_url(u) is None, u
+    canon, host = K.canonicalize_batch_kernel(pd.Series(cases, dtype=object))
+    for i, u in enumerate(cases):
+        assert canon.iloc[i] is None, u
+        assert host.iloc[i] is None, u
