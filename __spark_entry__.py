@@ -802,6 +802,41 @@ def q_charset_detect(spark, sf_dir):
     )
 
 
+def q_media_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode end to end: synthesize a constant-gray
+    JFIF per document (dimensions and gray level derived from doc_id),
+    run the pure-numpy huffman+DCT decoder through the multimodal
+    feature extractor, and emit (width, height, mean) — a constant
+    block is DC-only, so with the flat q=8 table the decode is EXACT
+    and fully predictable in SQL."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ccspark import jpeg as ccjpeg
+    from ccspark import multimodal
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 200").select("doc_id")
+
+    def _mk_jpeg(doc_id):
+        out = []
+        for did in doc_id:
+            d = int(did)
+            w, h = 8 + d % 9, 8 + (d // 9) % 9
+            out.append(ccjpeg.encode_jpeg(np.full((h, w), (d * 7) % 256, np.uint8)))
+        return pd.Series(out, index=doc_id.index)
+
+    mk = pandas_udf(_mk_jpeg, "binary")
+    payloads = docs.withColumn("payload", mk(F.col("doc_id")))
+    feats = multimodal.extract_features(payloads, "doc_id", "payload")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("features", 1).alias("mean_gray"),
+    )
+
+
 def q_ewma(spark, sf_dir):
     """A7 SmoothedAverage analog: per-user EWMA (alpha=0.3) of event
     values via applyInPandas (sequential recurrence per group; rows-only
@@ -873,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_escaped_newlines": q_escaped_newlines,
         "q_charset_decode": q_charset_decode,
         "q_charset_detect": q_charset_detect,
+        "q_media_jpeg": q_media_jpeg,
         "q_ewma": q_ewma,
     }
 
@@ -1054,6 +1090,12 @@ def oracle_sql() -> dict[str, str]:
             "(100 + doc_id % 50) / 8000.0 AS duration_s, "
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS rms, "
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS peak "
+            "FROM documents WHERE doc_id < 200"
+        ),
+        "q_media_jpeg": (
+            "SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width, "
+            "CAST(8 + (doc_id // 9) % 9 AS INT) AS height, "
+            "CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_gray "
             "FROM documents WHERE doc_id < 200"
         ),
         "q_media_decode": (

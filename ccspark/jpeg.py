@@ -1,0 +1,489 @@
+"""Pure-numpy baseline JPEG (JFIF) codec — no external image libraries.
+
+Replaces the last disclosed decode stub in the multimodal pipeline
+(multimodal.py previously raised NotImplementedError for image/jpeg).
+Scope, disclosed:
+
+* decode: baseline sequential DCT (SOF0), 8-bit samples, grayscale or
+  YCbCr with arbitrary sampling factors (4:4:4, 4:2:2, 4:2:0, ...),
+  restart intervals (DRI/RSTn), multi-marker DQT/DHT.  Progressive
+  (SOF2), arithmetic coding, and 12-bit precision raise ValueError.
+* encode: 4:4:4 / grayscale with the ITU-T T.81 Annex K "typical"
+  Huffman tables and a caller-supplied quantization table — enough to
+  synthesize deterministic fixtures (a constant-color block is DC-only,
+  so with q[0,0] == 8 the decode round-trips EXACTLY: the orthonormal
+  8-point DCT has F00 = 8*(g-128), and the IDCT of a DC-only block is
+  the constant F00/8).
+
+The entropy decode is a per-symbol Python loop (Huffman is inherently
+serial); the numeric heavy lifting — dequantize, dezigzag, IDCT of all
+blocks, upsampling, color transform — is batched numpy (one einsum over
+every block at once).
+
+Reference role: the crawl engine treats images as opaque binary columns
+(SURVEY.md multimodal section); this makes image/jpeg a REAL decode in
+multimodal.extract_features like PNG/WAV.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index i of the scan -> (row, col)
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8-point DCT-II matrix (== the T.81 FDCT/IDCT scaling)
+_A = np.zeros((8, 8))
+for _k in range(8):
+    _s = np.sqrt(1.0 / 8.0) if _k == 0 else np.sqrt(2.0 / 8.0)
+    for _n in range(8):
+        _A[_k, _n] = _s * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+# ITU-T T.81 Annex K.3 "typical" Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHR_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} (T.81 C.2)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(BITS, HUFFVAL) -> {(length, code): symbol}."""
+    out = {}
+    for sym, (code, length) in _build_codes(bits, vals).items():
+        out[(length, code)] = sym
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing and RSTn awareness (T.81 F.2.2.5)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.bitbuf = (self.bitbuf << 8) | 0
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: stop filling, caller resyncs
+                else:
+                    break  # EOI / next segment
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                return 0
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_skip_rst(self) -> None:
+        """Byte-align and consume one RSTn marker (restart interval)."""
+        self.bitbuf = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit amplitude to signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_symbol(br: _BitReader, dmap: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = dmap.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman stream")
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """JPEG bytes -> (width, height, channels, uint8 H×W×C array).
+
+    Baseline sequential (SOF0) only; grayscale (1 comp) and YCbCr
+    (3 comps, any sampling factors)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> decode map
+    width = height = None
+    comps: list[dict] = []
+    restart_interval = 0
+    scan_pos = None
+    scan_comps: list[dict] = []
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int32)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                htables[(tc, th)] = _build_decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = body[0]
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            height, width = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + c * 3], body[7 + c * 3], body[8 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tdta = body[1 + c * 2], body[2 + c * 2]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan_comps.append(
+                    {**comp, "td": tdta >> 4, "ta": tdta & 15}
+                )
+            scan_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if width is None or scan_pos is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component coefficient storage (blocks in MCU order)
+    for c in scan_comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        c["pred"] = 0
+
+    br = _BitReader(data, scan_pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_and_skip_rst()
+                for c in scan_comps:
+                    c["pred"] = 0
+            for c in scan_comps:
+                dmap_dc = htables[(0, c["td"])]
+                dmap_ac = htables[(1, c["ta"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, dtype=np.int32)
+                        t = _decode_symbol(br, dmap_dc)
+                        diff = _extend(br.receive(t), t)
+                        c["pred"] += diff
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(br, dmap_ac)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            blk[k] = _extend(br.receive(s), s)
+                            k += 1
+                        row = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                        c["coef"][row] = blk
+            mcu_count += 1
+
+    # batched numpy: dequantize + dezigzag + IDCT for every block at once
+    planes = []
+    for c in scan_comps:
+        q = qtables[c["tq"]]
+        deq = c["coef"] * q[None, :]
+        mat = np.zeros((deq.shape[0], 64), dtype=np.float64)
+        mat[:, _ZZ] = deq
+        blocks = mat.reshape(-1, 8, 8)
+        pix = np.einsum("ku,nuv,vl->nkl", _A.T, blocks, _A)
+        pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+        # assemble plane from blocks
+        plane = (
+            pix.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        # upsample to full MCU resolution, crop to image size
+        plane = plane.repeat(hmax // c["h"], axis=1).repeat(vmax // c["v"], axis=0)
+        planes.append(plane[:height, :width])
+
+    if len(planes) == 1:
+        return width, height, 1, planes[0][:, :, None]
+    if len(planes) != 3:
+        raise ValueError(f"unsupported component count {len(planes)}")
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return width, height, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# minimal encoder (fixture synthesis): 4:4:4 / grayscale, Annex K tables
+# ---------------------------------------------------------------------------
+
+_FLAT_Q8 = np.full(64, 8, dtype=np.int32)  # q such that constant blocks are exact
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
+    """Quantized zigzag block -> huffman bits; returns new DC predictor."""
+    diff = int(blk[0]) - pred
+    t = 0 if diff == 0 else max(1, int(abs(diff)).bit_length())
+    code, length = dc_codes[t]
+    bw.write(code, length)
+    if t:
+        amp = diff if diff >= 0 else diff + (1 << t) - 1
+        bw.write(amp, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if blk[k] != 0:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]
+            bw.write(zc, zl)
+            run -= 16
+        s = int(abs(v)).bit_length()
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        amp = v if v >= 0 else v + (1 << s) - 1
+        bw.write(amp, s)
+        run = 0
+    if last_nz < 63:
+        ec, el = ac_codes[0x00]
+        bw.write(ec, el)
+    return int(blk[0])
+
+
+def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """uint8 H×W (gray) or H×W×3 (RGB) -> baseline JFIF bytes (4:4:4).
+
+    ``quant`` is a 64-entry zigzag-order quantization table (default: a
+    flat table of 8s, which makes constant-color images round-trip
+    exactly — see module docstring)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if gray:
+        img = img[:, :, None]
+    h, w = img.shape[:2]
+    q = _FLAT_Q8 if quant is None else np.asarray(quant, dtype=np.int32)
+
+    if gray:
+        planes = [img[:, :, 0].astype(np.float64)]
+    else:
+        rf = img[:, :, 0].astype(np.float64)
+        gf = img[:, :, 1].astype(np.float64)
+        bf = img[:, :, 2].astype(np.float64)
+        yy = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        planes = [yy, cb, cr]
+
+    bh, bwd = (h + 7) // 8, (w + 7) // 8
+    dc_l = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_l = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_c = _build_codes(_DC_CHR_BITS, _DC_CHR_VALS)
+    ac_c = _build_codes(_AC_CHR_BITS, _AC_CHR_VALS)
+
+    # quantized zigzag blocks per plane (batched numpy)
+    qblocks = []
+    for p in planes:
+        padded = np.pad(p, ((0, bh * 8 - h), (0, bwd * 8 - w)), mode="edge") - 128.0
+        blocks = (
+            padded.reshape(bh, 8, bwd, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coef = np.einsum("uk,nkl,lv->nuv", _A, blocks, _A.T).reshape(-1, 64)
+        zz = coef[:, _ZZ]
+        qblocks.append(np.round(zz / q[None, :]).astype(np.int32))
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])  # h=v=1, quant table 0
+    out += _seg(0xC0, sof)
+
+    def dht(tc, th, bits, vals):
+        return _seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+
+    out += dht(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
+    out += dht(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
+    if not gray:
+        out += dht(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
+        out += dht(1, 1, _AC_CHR_BITS, _AC_CHR_VALS)
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for n in range(bh * bwd):
+        for ci in range(ncomp):
+            dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+            preds[ci] = _encode_block(bw, qblocks[ci][n], preds[ci], dc, ac)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1,14 +1,15 @@
 """Multimodal column handling: opaque binary payloads + typed metadata.
 
 Images/audio/video ride through the engine as ``binary`` columns with a
-metadata struct.  The decode stage is REAL for PNG and 16-bit-PCM WAV —
-pure-stdlib codecs in ccspark.media (zlib + filter reconstruction /
-RIFF), no external image libraries needed.  Formats without a stdlib
-decoder (JPEG, video) remain honestly stubbed: ``extract_features``
-raises ``NotImplementedError`` for them unless ``deterministic_fake``
-substitutes a seeded byte-statistics "decode" with the same output
-schema, so the downstream plumbing (schema, partition sizing, Arrow
-batch shape) still runs end-to-end for every format.
+metadata struct.  The decode stage is REAL for PNG, 16-bit-PCM WAV and
+baseline JPEG — pure numpy/stdlib codecs in ccspark.media /
+ccspark.jpeg (zlib + filter reconstruction / RIFF / huffman + DCT), no
+external image libraries needed.  Formats without a decoder (video,
+progressive JPEG) remain honestly stubbed: ``extract_features`` raises
+for them unless ``deterministic_fake`` substitutes a seeded
+byte-statistics "decode" with the same output schema, so the downstream
+plumbing (schema, partition sizing, Arrow batch shape) still runs
+end-to-end for every format.
 """
 
 from __future__ import annotations
@@ -71,10 +72,15 @@ def extract_features(
         if kind == "audio/wav":
             rate, _nch, samples = media.decode_wav(payload)
             return 0, 0, np.asarray(media.audio_features(rate, samples))
+        if kind == "image/jpeg":
+            from . import jpeg
+
+            w, h, _c, img = jpeg.decode_jpeg(payload)
+            return w, h, np.asarray(media.image_features(img))
         if not deterministic_fake:
             raise NotImplementedError(
-                f"no stdlib decoder for {kind}; PNG/WAV decode is real, "
-                "run with deterministic_fake=True for other formats"
+                f"no decoder for {kind}; PNG/WAV/baseline-JPEG decode is "
+                "real, run with deterministic_fake=True for other formats"
             )
         return _fake_decode(payload)
 

@@ -191,3 +191,92 @@ def test_png_filter_reconstruction_1mp_speed():
     t0 = time.time()
     media._reconstruct_filters(lines, fts, 600, 3)
     assert time.time() - t0 < 1.0
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (ccspark.jpeg)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_gray_exact_roundtrip():
+    """Constant-color blocks are DC-only; with q[0,0]==8 the orthonormal
+    DCT/IDCT pair round-trips EXACTLY (F00 = 8*(g-128))."""
+    import numpy as np
+
+    from ccspark import jpeg
+
+    for g in (0, 1, 17, 127, 128, 200, 255):
+        img = np.full((16, 24), g, np.uint8)
+        w, h, c, out = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+        assert (w, h, c) == (24, 16, 1)
+        assert (out[:, :, 0] == g).all(), g
+
+
+def test_jpeg_random_near_lossless_q1():
+    import numpy as np
+
+    from ccspark import jpeg
+
+    rng = np.random.default_rng(3)
+    q1 = np.ones(64, np.int32)
+    img = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    w, h, c, out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quant=q1))
+    assert (w, h, c) == (40, 24, 1)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+    # odd dimensions exercise edge padding + crop
+    img = rng.integers(0, 256, (13, 21)).astype(np.uint8)
+    w, h, c, out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quant=q1))
+    assert (w, h) == (21, 13)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+    # RGB: YCbCr float transform bounds the error at +-2
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    w, h, c, out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quant=q1))
+    assert c == 3
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_rejects_non_baseline():
+    import pytest as _pytest
+
+    from ccspark import jpeg
+
+    with _pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"not a jpeg")
+    # progressive SOF2 marker -> explicit unsupported error
+    import struct
+
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(9) + b"\xff\xd9"
+    with _pytest.raises(ValueError):
+        jpeg.decode_jpeg(sof2)
+
+
+def test_jpeg_through_multimodal_extract(spark):
+    """image/jpeg payloads take the REAL decode path (no stub) through
+    multimodal.extract_features."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from ccspark import jpeg, multimodal
+
+    docs = spark.range(24).select(F.col("id").alias("doc_id"))
+
+    def _mk(doc_id):
+        out = []
+        for did in doc_id:
+            d = int(did)
+            img = np.full((8 + d % 8, 8 + (d * 3) % 8), (d * 11) % 256, np.uint8)
+            out.append(jpeg.encode_jpeg(img))
+        return pd.Series(out, index=doc_id.index)
+
+    mk = pandas_udf(_mk, "binary")
+    feats = multimodal.extract_features(
+        docs.withColumn("payload", mk(F.col("doc_id"))), "doc_id", "payload"
+    )
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    for d in range(24):
+        r = rows[d]
+        assert r["width"] == 8 + (d * 3) % 8
+        assert r["height"] == 8 + d % 8
+        assert abs(r["features"][0] - (d * 11) % 256) < 1e-9  # exact mean
