@@ -1,0 +1,192 @@
+"""Iceberg-catalog Checkpoint backend.
+
+The north_rule names Iceberg tables as the checkpoint substrate; the
+default ``ccspark.checkpoint.Checkpoint`` emulates the guarantees on
+plain parquet (atomic manifest rename) because this sandbox ships no
+Iceberg jars.  This module provides the REAL catalog backend behind the
+same interface, active when a Spark SQL catalog is configured
+(``spark.sql.catalog.<name>`` = org.apache.iceberg.spark.SparkCatalog):
+
+* every crawl-round table lives as ``<catalog>.<ns>.<name>``
+  partitioned by ``round`` — a round write is an atomic
+  ``overwritePartitions`` of that round's partition (Iceberg snapshot
+  commit), idempotent on re-run exactly like the directory overwrite;
+* the manifest is a ``_manifest`` table; committing a round is ONE
+  atomic append (Iceberg's snapshot isolation replaces the POSIX
+  rename), and the last committed round is ``max(round)``;
+* resume = read manifest, ``DELETE FROM t WHERE round > last`` for
+  crash debris (Iceberg row-level delete), continue.
+
+Reference analog: the query framework's results-directory contract —
+Query.java:881-998 publishes finished shard results under a committed
+directory name; Iceberg's snapshot commit is the same
+visible-only-when-committed protocol.
+
+Use ``make_checkpoint(spark, location)`` to get whichever backend the
+session supports: ``iceberg:<catalog>.<namespace>`` → this class, a
+filesystem path → the parquet emulation.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import Checkpoint
+
+MANIFEST_TABLE = "_manifest"
+
+
+def iceberg_available(spark: SparkSession, catalog: str) -> bool:
+    """True when ``catalog`` is configured AND its implementation class
+    is loadable (the sandbox has the conf mechanism but no jars)."""
+    impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    if impl is None:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(impl)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def make_checkpoint(spark: SparkSession, location: str):
+    """Backend factory: ``iceberg:<catalog>.<namespace>`` → catalog
+    checkpoint (requires the catalog to be configured + jars present),
+    anything else → the local-parquet Checkpoint emulation."""
+    if location.startswith("iceberg:"):
+        ref = location[len("iceberg:") :]
+        catalog, _, ns = ref.partition(".")
+        if not ns:
+            raise ValueError("iceberg location must be iceberg:<catalog>.<namespace>")
+        if not iceberg_available(spark, catalog):
+            raise RuntimeError(
+                f"catalog {catalog!r} not configured or Iceberg jars absent; "
+                "use a filesystem path for the parquet-emulation backend"
+            )
+        return IcebergCheckpoint(spark, catalog, ns)
+    return Checkpoint(location)
+
+
+class IcebergCheckpoint:
+    """Checkpoint interface over an Iceberg catalog namespace."""
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _qualified(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    # -- tables -------------------------------------------------------------
+
+    def write(self, df: DataFrame, name: str, round_no: int, partition_by=None) -> str:
+        """Idempotent per-round write: atomically replace the round's
+        partition (Iceberg snapshot commit).  The partition column is
+        ``_ckpt_round`` so data columns named ``round`` (the processed
+        table has one) pass through untouched."""
+        t = self._qualified(name)
+        out = df.withColumn("_ckpt_round", F.lit(round_no).cast("int"))
+        if not self.spark.catalog.tableExists(t):
+            out.writeTo(t).partitionedBy(F.col("_ckpt_round")).create()
+        else:
+            out.writeTo(t).overwritePartitions()
+        return t
+
+    def write_pdf(self, pdf: pd.DataFrame, name: str, round_no: int, arrow_schema=None) -> str:
+        df = self.spark.createDataFrame(pdf)
+        return self.write(df, name, round_no)
+
+    def copy_round(self, name: str, from_round: int, to_round: int) -> str:
+        t = self._qualified(name)
+        self.spark.sql(
+            f"INSERT OVERWRITE {t} PARTITION (_ckpt_round = {int(to_round)}) "
+            f"SELECT * EXCEPT (_ckpt_round) FROM {t} "
+            f"WHERE _ckpt_round = {int(from_round)}"
+        )
+        return t
+
+    def read(self, spark: SparkSession, name: str, round_no: int) -> DataFrame:
+        return (
+            spark.read.table(self._qualified(name))
+            .filter(F.col("_ckpt_round") == round_no)
+            .drop("_ckpt_round")
+        )
+
+    def read_all_rounds(self, spark: SparkSession, name: str, upto_round: int) -> DataFrame | None:
+        t = self._qualified(name)
+        if not spark.catalog.tableExists(t):
+            return None
+        return (
+            spark.read.table(t)
+            .filter(F.col("_ckpt_round") <= upto_round)
+            .drop("_ckpt_round")
+        )
+
+    def drop_rounds_after(self, round_no: int) -> None:
+        """Crash-debris cleanup: row-level DELETE of uncommitted rounds."""
+        rows = self.spark.sql(
+            f"SHOW TABLES IN {self.catalog}.{self.namespace}"
+        ).collect()
+        for r in rows:
+            name = r["tableName"]
+            if name == MANIFEST_TABLE:
+                continue
+            self.spark.sql(
+                f"DELETE FROM {self._qualified(name)} "
+                f"WHERE _ckpt_round > {int(round_no)}"
+            )
+
+    def table_dir(self, name: str, round_no: int | None = None) -> str:
+        # identifier, not a path — kept for interface compatibility
+        t = self._qualified(name)
+        return t if round_no is None else f"{t}/_ckpt_round={round_no}"
+
+    # -- manifest -----------------------------------------------------------
+
+    def commit_round(self, round_no: int, tables: dict, extra: dict | None = None) -> None:
+        """Atomic publish: ONE append to the manifest table (Iceberg
+        snapshot isolation = the rename of the parquet emulation)."""
+        pdf = pd.DataFrame(
+            [
+                {
+                    "round": int(round_no),
+                    "tables": json.dumps(tables),
+                    "extra": json.dumps(extra or {}),
+                    "committed_at": float(time.time()),
+                }
+            ]
+        )
+        df = self.spark.createDataFrame(pdf)
+        t = self._qualified(MANIFEST_TABLE)
+        if not self.spark.catalog.tableExists(t):
+            df.writeTo(t).create()
+        else:
+            df.writeTo(t).append()
+
+    def read_manifest(self) -> dict | None:
+        t = self._qualified(MANIFEST_TABLE)
+        if not self.spark.catalog.tableExists(t):
+            return None
+        rows = (
+            self.spark.read.table(t)
+            .orderBy(F.desc("round"), F.desc("committed_at"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
+        r = rows[0]
+        out = {"round": int(r["round"]), "tables": json.loads(r["tables"])}
+        out.update(json.loads(r["extra"]))
+        return out
+
+    def last_committed_round(self) -> int | None:
+        m = self.read_manifest()
+        return None if m is None else int(m["round"])

@@ -120,10 +120,22 @@ def expand_links_pdf(url_hashes: np.ndarray, cfg: FrontierConfig) -> pd.DataFram
 class CrawlFrontier:
     """Checkpointed crawl-frontier driver."""
 
-    def __init__(self, spark: SparkSession, ckpt_dir: str, cfg: FrontierConfig | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        ckpt_dir: str,
+        cfg: FrontierConfig | None = None,
+        checkpoint=None,
+    ):
+        """``ckpt_dir`` may be a filesystem path (parquet-emulation
+        backend) or ``iceberg:<catalog>.<namespace>`` (real Iceberg
+        catalog backend, see ccspark.catalog); ``checkpoint`` overrides
+        with an explicit backend instance."""
+        from .catalog import make_checkpoint
+
         self.spark = spark
         self.cfg = cfg or FrontierConfig()
-        self.ckpt = Checkpoint(ckpt_dir)
+        self.ckpt = checkpoint or make_checkpoint(spark, ckpt_dir)
 
     # -- plumbing ---------------------------------------------------------
 
