@@ -25,9 +25,10 @@ Ports, exactly:
   ``ccspark.data.charset_aliases``).
 
 Java canonical charset names are then mapped to Python codecs for the
-decode stage; the handful of Java-only charsets (x-IBM964 / EUC-TW,
-ISO-2022-CN) that CPython lacks are documented divergences that decode
-to None (matching the reference's behavior when Charset.decode throws).
+decode stage; the two Java-only charsets CPython lacks (x-IBM964 /
+EUC-TW and ISO-2022-CN) decode through table-driven ports in
+ccspark.cjkext whose tables and malformed-input semantics were
+extracted from / fuzz-pinned against the JVM's own decoders.
 """
 
 from __future__ import annotations
@@ -701,7 +702,9 @@ _JAVA_TO_PYTHON_CODEC: dict[str, str | None] = {
     "x-IBM737": "cp737",
     "x-IBM856": "cp856",
     "x-IBM1006": "cp1006",
-    # Java-only converters CPython lacks entirely:
+    # Java-only converters CPython lacks: table-driven ports in
+    # ccspark.cjkext (JVM-extracted tables + fuzz-pinned malformed
+    # semantics) — see decode_as_java's special-case dispatch
     "x-euc-tw": None,
     "x-IBM964": None,
     "ISO-2022-CN": None,
@@ -739,6 +742,14 @@ def decode_as_java(data: bytes, java_name: str) -> str | None:
     """Decode ``data`` the way Java's Charset.decode(charset) would
     (malformed/unmappable -> U+FFFD), or None when the charset cannot be
     resolved (Charset.forName throw path)."""
+    if java_name in ("x-IBM964", "x-euc-tw"):
+        from . import cjkext
+
+        return cjkext.decode_euc_tw(data)
+    if java_name == "ISO-2022-CN":
+        from . import cjkext
+
+        return cjkext.decode_iso2022_cn(data)
     codec = java_charset_to_codec(java_name)
     if codec is None:
         return None

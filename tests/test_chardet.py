@@ -137,8 +137,11 @@ def test_decode_as_java_ibm943_fixup():
 
 
 def test_decode_as_java_unresolvable():
-    assert chardet.decode_as_java(b"abc", "x-euc-tw") is None
+    # x-euc-tw used to be a documented None divergence; it now decodes
+    # through the cjkext EUC-TW port (ASCII passes through)
+    assert chardet.decode_as_java(b"abc", "x-euc-tw") == "abc"
     assert chardet.decode_as_java(b"abc", "nomatch") is None
+    assert chardet.decode_as_java(b"abc", "IBM-Thai") is None  # no cp838
 
 
 def test_decode_html_meta_tag_wins_over_detector():
@@ -201,3 +204,40 @@ def test_batch_matches_scalar_fuzz():
     for i, c in enumerate(cases):
         want = chardet.detect_character_encoding(c)
         assert got[i] == want, (i, want, got[i], (c or b"")[:40])
+
+
+def test_cjkext_fuzz_goldens():
+    """x-IBM964 / ISO-2022-CN decoders byte-identical to the JVM's own
+    (8030 fuzz vectors incl. random soups, structured escapes,
+    truncations — .scratch/cjk/FuzzCJK.java)."""
+    import os
+
+    from ccspark import cjkext
+
+    path = os.path.join(os.path.dirname(__file__), "data", "cjk_fuzz.tsv")
+    n = 0
+    for line in open(path, encoding="ascii"):
+        name, h, v = line.rstrip("\n").split("\t")
+        data = bytes.fromhex(h)
+        want = "".join(chr(int(x, 16)) for x in v.split(",")) if v else ""
+        got = (
+            cjkext.decode_euc_tw(data)
+            if name == "964"
+            else cjkext.decode_iso2022_cn(data)
+        )
+        assert got == want, (name, h, v)
+        n += 1
+    assert n == 8030
+
+
+def test_decode_as_java_cjk_charsets():
+    """The CharsetUtils.decode path now resolves the two formerly-None
+    Java-only charsets to real text."""
+    # EUC-TW: plane-1 pair A4A1 = 一 (U+4E00 in CNS 11643 plane 1? use
+    # round-trip-free spot values from the extracted tables instead)
+    assert chardet.decode_as_java(b"\xa1\xa1", "x-IBM964") == "　"
+    assert chardet.decode_as_java(b"\xa1\xa1", "x-euc-tw") == "　"
+    assert chardet.decode_as_java(b"\x8e\xa2\xa1\xa1", "x-IBM964") == "乂"
+    got = chardet.decode_as_java(b"\x1b$)A\x0e\x30\x21\x0f", "ISO-2022-CN")
+    assert got == "啊"  # GB2312 B0A1
+    assert chardet.decode_as_java(b"\x1bN\x21\x23", "ISO-2022-CN") == "凵"
