@@ -802,6 +802,46 @@ def q_charset_detect(spark, sf_dir):
     )
 
 
+def q_media_png_filters(spark, sf_dir):
+    """PNG filter-reconstruction paths (Sub/Up/Average/Paeth wavefront)
+    oracled end to end: per document, a grayscale GRADIENT image
+    (pixel = c0 + x + w*y, values < 256 by construction) is encoded
+    with per-row CYCLING filter types (row y uses (doc_id + y) % 5),
+    decoded by the vectorized reconstruction, and its mean emitted —
+    the gradient mean c0 + (w-1)/2 + w*(h-1)/2 is a multiple of 0.5,
+    so the comparison is exact (no rounding)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ccspark import media, multimodal
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 200").select("doc_id")
+
+    def _mk_png(doc_id):
+        out = []
+        for did in doc_id:
+            d = int(did)
+            w, h = 4 + d % 8, 4 + (d // 8) % 8
+            c0 = d % 128
+            img = (c0 + np.arange(w)[None, :] + w * np.arange(h)[:, None]).astype(
+                np.uint8
+            )
+            fts = [(d + y) % 5 for y in range(h)]
+            out.append(media.encode_png(img, row_filters=fts))
+        return pd.Series(out, index=doc_id.index)
+
+    mk = pandas_udf(_mk_png, "binary")
+    payloads = docs.withColumn("payload", mk(F.col("doc_id")))
+    feats = multimodal.extract_features(payloads, "doc_id", "payload")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("features", 1).alias("mean_gray"),
+    )
+
+
 def q_media_jpeg(spark, sf_dir):
     """REAL baseline-JPEG decode end to end: synthesize a constant-gray
     JFIF per document (dimensions and gray level derived from doc_id),
@@ -909,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_charset_decode": q_charset_decode,
         "q_charset_detect": q_charset_detect,
         "q_media_jpeg": q_media_jpeg,
+        "q_media_png_filters": q_media_png_filters,
         "q_ewma": q_ewma,
     }
 
@@ -1090,6 +1131,13 @@ def oracle_sql() -> dict[str, str]:
             "(100 + doc_id % 50) / 8000.0 AS duration_s, "
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS rms, "
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS peak "
+            "FROM documents WHERE doc_id < 200"
+        ),
+        "q_media_png_filters": (
+            "SELECT doc_id, CAST(4 + doc_id % 8 AS INT) AS width, "
+            "CAST(4 + (doc_id // 8) % 8 AS INT) AS height, "
+            "CAST(doc_id % 128 AS DOUBLE) + (4 + doc_id % 8 - 1) / 2.0 "
+            "+ (4 + doc_id % 8) * (4 + (doc_id // 8) % 8 - 1) / 2.0 AS mean_gray "
             "FROM documents WHERE doc_id < 200"
         ),
         "q_media_jpeg": (

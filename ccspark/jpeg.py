@@ -412,6 +412,85 @@ def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int, dc_codes, ac_codes
     return int(blk[0])
 
 
+def encode_jpeg_420(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """uint8 H×W×3 RGB → baseline JFIF with 4:2:0 chroma subsampling
+    (Y sampling 2x2, Cb/Cr 1x1; chroma planes 2:1 box-downsampled).
+    Exists to exercise the decoder's generic MCU/upsampling path with a
+    deterministic fixture; quality knobs match encode_jpeg."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("4:2:0 encoder takes RGB")
+    h, w = img.shape[:2]
+    q = _FLAT_Q8 if quant is None else np.asarray(quant, dtype=np.int32)
+    rf = img[:, :, 0].astype(np.float64)
+    gf = img[:, :, 1].astype(np.float64)
+    bf = img[:, :, 2].astype(np.float64)
+    yy = 0.299 * rf + 0.587 * gf + 0.114 * bf
+    cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+    cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+    # pad to MCU (16x16 for Y) then box-downsample chroma 2:1
+    mh, mw = (h + 15) // 16, (w + 15) // 16
+    yp = np.pad(yy, ((0, mh * 16 - h), (0, mw * 16 - w)), mode="edge")
+    cbp = np.pad(cb, ((0, mh * 16 - h), (0, mw * 16 - w)), mode="edge")
+    crp = np.pad(cr, ((0, mh * 16 - h), (0, mw * 16 - w)), mode="edge")
+    cbd = cbp.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+    crd = crp.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+
+    def qblocks(plane, bh, bwd):
+        blocks = (
+            (plane - 128.0)
+            .reshape(bh, 8, bwd, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coef = np.einsum("uk,nkl,lv->nuv", _A, blocks, _A.T).reshape(-1, 64)
+        return np.round(coef[:, _ZZ] / q[None, :]).astype(np.int32)
+
+    yq = qblocks(yp, mh * 2, mw * 2)
+    cbq = qblocks(cbd, mh, mw)
+    crq = qblocks(crd, mh, mw)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0])  # Y: h=2, v=2
+    sof += bytes([2, 0x11, 0])
+    sof += bytes([3, 0x11, 0])
+    out += _seg(0xC0, sof)
+
+    def dht(tc, th, bits, vals):
+        return _seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+
+    out += dht(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
+    out += dht(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
+    out += dht(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
+    out += dht(1, 1, _AC_CHR_BITS, _AC_CHR_VALS)
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    dc_l = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_l = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_c = _build_codes(_DC_CHR_BITS, _DC_CHR_VALS)
+    ac_c = _build_codes(_AC_CHR_BITS, _AC_CHR_VALS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    ybw = mw * 2  # Y blocks per row
+    for my in range(mh):
+        for mx in range(mw):
+            for by in range(2):
+                for bx in range(2):
+                    idx = (my * 2 + by) * ybw + (mx * 2 + bx)
+                    preds[0] = _encode_block(bw, yq[idx], preds[0], dc_l, ac_l)
+            cidx = my * mw + mx
+            preds[1] = _encode_block(bw, cbq[cidx], preds[1], dc_c, ac_c)
+            preds[2] = _encode_block(bw, crq[cidx], preds[2], dc_c, ac_c)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     """uint8 H×W (gray) or H×W×3 (RGB) -> baseline JFIF bytes (4:4:4).
 

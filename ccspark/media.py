@@ -34,8 +34,14 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """uint8 HxW (gray) or HxWx3 (RGB) or HxWx4 (RGBA) → PNG bytes."""
+def encode_png(arr: np.ndarray, row_filters=None) -> bytes:
+    """uint8 HxW (gray) or HxWx3 (RGB) or HxWx4 (RGBA) → PNG bytes.
+
+    ``row_filters`` optionally assigns a filter type (0-4) per scanline
+    (int or sequence) — the encoder applies the RFC 2083 forward filter
+    so the decoder's reconstruction paths (Sub/Up/Average/Paeth incl.
+    the wavefront) can be exercised by synthesized fixtures; default is
+    filter 0 everywhere."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         color_type, channels = 0, 1
@@ -48,7 +54,40 @@ def encode_png(arr: np.ndarray) -> bytes:
         raise ValueError("unsupported channel count")
     h, w = arr.shape[:2]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    if row_filters is None:
+        fts = [0] * h
+    elif isinstance(row_filters, int):
+        fts = [row_filters] * h
+    else:
+        fts = [int(x) for x in row_filters]
+    bpp = channels
+    stride = w * bpp
+    flat = arr.reshape(h, stride).astype(np.int16)
+    zero = np.zeros(stride, dtype=np.int16)
+    pieces = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else zero
+        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]]) if stride > bpp else zero[:stride]
+        ul = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]]) if stride > bpp else zero[:stride]
+        f = fts[y]
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - prev
+        elif f == 3:
+            out = cur - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            out = cur - pred
+        else:
+            raise ValueError(f"bad filter {f}")
+        pieces.append(bytes([f]) + (out & 0xFF).astype(np.uint8).tobytes())
+    raw = b"".join(pieces)
     return (
         _PNG_MAGIC
         + _chunk(b"IHDR", ihdr)

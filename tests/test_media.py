@@ -280,3 +280,45 @@ def test_jpeg_through_multimodal_extract(spark):
         assert r["width"] == 8 + (d * 3) % 8
         assert r["height"] == 8 + d % 8
         assert abs(r["features"][0] - (d * 11) % 256) < 1e-9  # exact mean
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """The decoder's generic sampling-factor MCU/upsampling path,
+    exercised by a 4:2:0 encoder fixture: constant color is exact
+    (constant chroma survives the 2:1 box downsample), smooth content
+    stays within chroma-subsampling loss."""
+    import numpy as np
+
+    from ccspark import jpeg
+
+    q1 = np.ones(64, np.int32)
+    img = np.zeros((24, 40, 3), np.uint8)
+    img[:] = (180, 90, 40)
+    w, h, c, out = jpeg.decode_jpeg(jpeg.encode_jpeg_420(img, quant=q1))
+    assert (w, h, c) == (40, 24, 3)
+    assert (out == img).all()
+    yy, xx = np.mgrid[0:19, 0:29]
+    img = np.stack(
+        [(xx * 4) % 200 + 20, (yy * 6) % 200 + 20, ((xx + yy) * 3) % 200 + 20],
+        axis=2,
+    ).astype(np.uint8)
+    w, h, c, out = jpeg.decode_jpeg(jpeg.encode_jpeg_420(img, quant=q1))
+    assert (w, h) == (29, 19)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 3.0 and err.max() <= 16  # chroma subsample loss only
+
+
+def test_png_filtered_encoding_roundtrip():
+    """encode_png(row_filters=...) forward-filters scanlines; decode
+    must reconstruct the original bytes for every filter mix."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    for _ in range(8):
+        h, w = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+        ch = int(rng.choice([1, 3, 4]))
+        img = rng.integers(0, 256, (h, w) if ch == 1 else (h, w, ch)).astype(np.uint8)
+        fts = rng.integers(0, 5, h)
+        _, _, _, out = media.decode_png(media.encode_png(img, row_filters=fts))
+        want = img[:, :, None] if ch == 1 else img
+        assert (out == want).all()
