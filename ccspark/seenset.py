@@ -296,6 +296,97 @@ def probe_filters(candidates: DataFrame, filters: DataFrame, num_partitions: int
     )
 
 
+def filter_new_cogrouped(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    filters: DataFrame,
+    num_partitions: int,
+) -> DataFrame:
+    """Bloom/cuckoo pre-screen + exact confirm FUSED into ONE cogrouped
+    pass — the 10^10-scale novelty gate.
+
+    The two-branch formulation (fresh ∪ exact-confirmed suspects)
+    references the probed subtree twice, so a single action computes
+    the probe TWICE (plan-audit finding, BENCH/BASELINE.md R3.6).  Here
+    the per-partition state (the filter blob + that partition's seen
+    identities, tagged rows of one union frame) is cogrouped with the
+    candidates once: inside the task the bloom probe runs, and only the
+    maybe-seen rows are checked against the partition's exact set (a
+    hash-join in pandas).  One shuffle of candidates by pmod
+    (domain_hash), one of seen — strictly fewer passes than
+    probe-twice + suspect SMJ anti-join (which also shuffles seen)."""
+    from pyspark.sql.types import StructField, StructType
+
+    pid = F.pmod(F.col("domain_hash"), F.lit(num_partitions)).cast("int")
+    cand = candidates.withColumn("partition_id", pid)
+    state = filters.select(
+        "partition_id",
+        "kind",
+        "hash_count",
+        "num_buckets",
+        "bits",
+        F.lit(None).cast("long").alias("s_domain_hash"),
+        F.lit(None).cast("long").alias("s_url_hash"),
+    )
+    if seen is not None:
+        state = state.unionByName(
+            seen.select(
+                pid.alias("partition_id"),
+                F.lit(None).cast("string").alias("kind"),
+                F.lit(None).cast("int").alias("hash_count"),
+                F.lit(None).cast("long").alias("num_buckets"),
+                F.lit(None).cast("binary").alias("bits"),
+                F.col("domain_hash").alias("s_domain_hash"),
+                F.col("url_hash").alias("s_url_hash"),
+            )
+        )
+    out_schema = StructType([f for f in cand.schema.fields if f.name != "partition_id"])
+
+    def _gate(key, cand_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = cand_pdf.drop(columns=["partition_id"])
+        if len(out) == 0:
+            return out
+        keys = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+        blob = state_pdf[state_pdf["kind"].notna()]
+        if len(blob) == 0:
+            return out  # no filter state: everything is new
+        row = blob.iloc[0]
+        if row["kind"] == "bloom":
+            maybe = bloom_probe(keys, int(row["hash_count"]), int(row["num_buckets"]), row["bits"])
+        else:
+            maybe = cuckoo_probe(keys, int(row["hash_count"]), int(row["num_buckets"]), row["bits"])
+        if not maybe.any():
+            return out
+        seen_rows = state_pdf[state_pdf["kind"].isna()]
+        if len(seen_rows) == 0:
+            return out  # filter false positives only
+        # exact confirm for the (few) maybe-seen rows: vectorized
+        # composite-key membership against this partition's seen set
+        sus_pos = np.flatnonzero(maybe)
+        sus_idx = pd.MultiIndex.from_arrays(
+            [
+                cand_pdf["domain_hash"].to_numpy(np.int64)[sus_pos],
+                keys[sus_pos],
+            ]
+        )
+        seen_idx = pd.MultiIndex.from_arrays(
+            [
+                seen_rows["s_domain_hash"].to_numpy(np.int64),
+                seen_rows["s_url_hash"].to_numpy(np.int64),
+            ]
+        )
+        dup = sus_idx.isin(seen_idx)
+        keep = np.ones(len(cand_pdf), dtype=bool)
+        keep[sus_pos[dup]] = False
+        return out[keep]
+
+    return (
+        cand.groupBy("partition_id")
+        .cogroup(state.groupBy("partition_id"))
+        .applyInPandas(_gate, schema=out_schema)
+    )
+
+
 def augment_filters(
     old: DataFrame,
     delta_keys: DataFrame,
@@ -464,18 +555,23 @@ def filter_new(
     that is the point of the pre-filter at 10^10 keys.  When the caller
     knows the total filter state is small (``broadcast_bytes`` under the
     threshold) the probe runs as a broadcast map stage instead of the
-    cogroup — zero shuffles on the candidate side."""
+    cogroup — zero shuffles on the candidate side.  At cogroup scale the
+    probe and exact confirm are FUSED into one pass
+    (filter_new_cogrouped): the union-of-branches formulation would
+    compute the probe twice per action (plan-audit finding)."""
     if broadcast_bytes is not None and broadcast_bytes <= broadcast_threshold:
         probed = probe_filters_broadcast(candidates, filters)
-    else:
-        probed = probe_filters(candidates, filters, num_partitions)
-    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    if seen is None:
-        # nothing crawled yet (round 1): an empty filter can still flag
-        # maybe_seen=false for everything, so suspect is empty — but keep
-        # the plan shape identical for determinism
-        confirmed_new = suspect
-    else:
-        confirmed_new = exact_new_urls(suspect, seen)
-    return fresh.unionByName(confirmed_new)
+        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        if seen is None:
+            # nothing crawled yet (round 1): an empty filter can still
+            # flag maybe_seen=false for everything, so suspect is empty —
+            # but keep the plan shape identical for determinism
+            confirmed_new = suspect
+        else:
+            confirmed_new = exact_new_urls(suspect, seen)
+        # NOTE the two branches re-run the probe within one action; the
+        # broadcast probe is a cheap map stage so this is the faster
+        # shape at small/mid state (no candidate shuffle at all)
+        return fresh.unionByName(confirmed_new)
+    return filter_new_cogrouped(candidates, seen, filters, num_partitions)

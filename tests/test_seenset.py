@@ -120,3 +120,51 @@ def test_empty_filters_pdf_matches_zero_build(spark):
     assert not seenset.bloom_probe(
         np.array([1, 2, 3], dtype=np.int64), int(row["hash_count"]), int(row["num_buckets"]), row["bits"]
     ).any()
+
+
+def test_filter_new_cogrouped_equals_branch_formulation(spark):
+    """The fused cogroup novelty gate (one pass: bloom probe + exact
+    confirm) must return exactly the same rows as the two-branch
+    broadcast formulation, including bloom false positives that the
+    exact confirm must keep."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ccspark import seenset
+
+    P = 4
+    rng = np.random.default_rng(17)
+    all_ids = rng.choice(10_000_000, size=3000, replace=False).astype(np.int64)
+    seen_ids = all_ids[:1200]
+    cand_ids = np.concatenate([all_ids[800:2400], all_ids[:100]])  # overlap
+    seen = spark.createDataFrame(
+        [(int(x) % 1000, int(x)) for x in seen_ids], "domain_hash long, url_hash long"
+    )
+    cands = spark.createDataFrame(
+        [(int(x) % 1000, int(x), float(x % 97)) for x in cand_ids],
+        "domain_hash long, url_hash long, priority double",
+    )
+    filters = seenset.build_filters(seen, P, "bloom", buckets_per_element=4)
+    # force both paths explicitly
+    fused = seenset.filter_new_cogrouped(cands, seen, filters, P)
+    branch = seenset.filter_new(
+        cands, seen, filters, P, broadcast_bytes=1, broadcast_threshold=10**9
+    )
+    got = {(r["domain_hash"], r["url_hash"]) for r in fused.collect()}
+    want = {(r["domain_hash"], r["url_hash"]) for r in branch.collect()}
+    assert got == want
+    # and equals the plain anti-join ground truth
+    truth = {
+        (r["domain_hash"], r["url_hash"])
+        for r in cands.join(seen, ["domain_hash", "url_hash"], "left_anti").collect()
+    }
+    assert got == truth
+    # seen=None: no exact set to confirm against -> everything passes
+    fused0 = seenset.filter_new_cogrouped(cands, None, filters, P)
+    assert fused0.count() == cands.count()
+    empty_filters = spark.createDataFrame(
+        seenset.empty_filters_pdf(P, "bloom", 4, capacity=4096),
+        schema=seenset.FILTER_SCHEMA,
+    )
+    fused_empty = seenset.filter_new_cogrouped(cands, None, empty_filters, P)
+    assert fused_empty.count() == cands.count()
