@@ -802,6 +802,41 @@ def q_charset_detect(spark, sf_dir):
     )
 
 
+# shared passages appended to doc_id<30 (variant by doc_id%3, 12 marker
+# tokens each) guarantee cross-doc duplicated windows at every sf; the
+# oracle is a FULL independent DuckDB implementation of the operator,
+# so natural word-soup collisions are covered too
+_DUP_PASSAGES = [
+    " ".join(f"dup{v}tok{i}" for i in range(12)) for v in range(3)
+]
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring duplication (Lee et al. 2022 family): per doc,
+    the number of 8-token windows appearing verbatim in another doc —
+    tokenize → sliding windows (pure Catalyst transform/sequence) →
+    xxhash64 window keys → one distinct-doc groupBy → semi-join back.
+    The oracle reimplements the whole operator in DuckDB over the same
+    derived corpus (list comprehensions + unnest), so every count is
+    independently recomputed."""
+    from ccspark import dedup
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 500")
+    passage = F.element_at(
+        F.array(*[F.lit(p) for p in _DUP_PASSAGES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    derived = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") < 30, F.concat(F.lit(" "), passage)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return dedup.substring_dup_counts(derived, "doc_id", "text", k=8, hashed=True)
+
+
 def q_media_png_filters(spark, sf_dir):
     """PNG filter-reconstruction paths (Sub/Up/Average/Paeth wavefront)
     oracled end to end: per document, a grayscale GRADIENT image
@@ -950,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_charset_detect": q_charset_detect,
         "q_media_jpeg": q_media_jpeg,
         "q_media_png_filters": q_media_png_filters,
+        "q_substring_dedup": q_substring_dedup,
         "q_ewma": q_ewma,
     }
 
@@ -1132,6 +1168,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS rms, "
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS peak "
             "FROM documents WHERE doc_id < 200"
+        ),
+        "q_substring_dedup": (
+            "WITH t AS (SELECT doc_id, coalesce(text,'') || "
+            "CASE WHEN doc_id < 30 THEN ' ' || "
+            + "[{}][CAST(doc_id % 3 AS INT) + 1]".format(
+                ", ".join("'%s'" % p for p in _DUP_PASSAGES)
+            )
+            + " ELSE '' END AS s FROM documents WHERE doc_id < 500), "
+            "tok AS (SELECT doc_id, string_split(s, ' ') AS toks FROM t), "
+            "w AS (SELECT doc_id, CASE WHEN len(toks) >= 8 THEN "
+            "[array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)] "
+            "ELSE [] END AS wins FROM tok), "
+            "e AS (SELECT doc_id, unnest(wins) AS win FROM w), "
+            "d AS (SELECT win FROM e GROUP BY win HAVING COUNT(DISTINCT doc_id) > 1), "
+            "c AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM e JOIN d USING (win) GROUP BY doc_id) "
+            "SELECT t.doc_id, CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows "
+            "FROM t LEFT JOIN c USING (doc_id)"
         ),
         "q_media_png_filters": (
             "SELECT doc_id, CAST(4 + doc_id % 8 AS INT) AS width, "

@@ -258,3 +258,61 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def substring_dup_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """Exact-substring duplication detector (the Lee et al. 2022
+    "Deduplicating Training Data" operator family): per document, the
+    number of k-token windows that appear verbatim in at least one
+    OTHER document.
+
+    Pure Catalyst: tokenize → sliding k-token windows via
+    transform(sequence(...)) → explode → one groupBy on the window key
+    counting distinct docs → semi-join back.  ``hashed`` keys the
+    shuffle on xxhash64 of the window instead of the window string —
+    the 100-TB shape (8-byte shuffle keys, windows never leave the map
+    side); hashed=False keeps the raw string key so an independent SQL
+    engine reproduces the result exactly (the oracle path).
+
+    Documents with fewer than k tokens, or no duplicated window, report
+    n_dup_windows = 0 (left join keeps every input row)."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    wins = base.filter(F.col("n") >= k).select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - k),
+                lambda i: F.array_join(F.slice("toks", i + 1, k), " "),
+            )
+        ).alias("win"),
+    )
+    if hashed:
+        wins = wins.select("doc", F.xxhash64("win").alias("win"))
+    dup_wins = (
+        wins.groupBy("win")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("win")
+    )
+    per_doc = (
+        wins.join(dup_wins, "win", "left_semi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        )
+    )
