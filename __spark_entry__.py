@@ -837,6 +837,18 @@ def q_substring_dedup(spark, sf_dir):
     return dedup.substring_dup_counts(derived, "doc_id", "text", k=8, hashed=True)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-family repetition quality signals (duplicate-token mass,
+    top-bigram fraction) over the documents table — pure Catalyst; the
+    oracle reimplements both statistics independently in DuckDB."""
+    from ccspark import textops
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 500").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    return textops.repetition_stats(docs, "doc_id", "text")
+
+
 def q_media_png_filters(spark, sf_dir):
     """PNG filter-reconstruction paths (Sub/Up/Average/Paeth wavefront)
     oracled end to end: per document, a grayscale GRADIENT image
@@ -986,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_jpeg": q_media_jpeg,
         "q_media_png_filters": q_media_png_filters,
         "q_substring_dedup": q_substring_dedup,
+        "q_repetition_stats": q_repetition_stats,
         "q_ewma": q_ewma,
     }
 
@@ -1168,6 +1181,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS rms, "
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS peak "
             "FROM documents WHERE doc_id < 200"
+        ),
+        "q_repetition_stats": (
+            "WITH t AS (SELECT doc_id, coalesce(text,'') AS s FROM documents WHERE doc_id < 500), "
+            "tok AS (SELECT doc_id, string_split(s, ' ') AS toks FROM t), "
+            "ts AS (SELECT doc_id, 1 - CAST(len(list_distinct(toks)) AS DOUBLE) "
+            "/ greatest(len(toks), 1) AS dup_token_frac FROM tok), "
+            "bgs AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ') "
+            "for i in range(1, len(toks))]) AS bg FROM tok WHERE len(toks) >= 2), "
+            "c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg), "
+            "m AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac "
+            "FROM c GROUP BY doc_id) "
+            "SELECT ts.doc_id, dup_token_frac, coalesce(m.top_bigram_frac, 0.0) AS top_bigram_frac "
+            "FROM ts LEFT JOIN m USING (doc_id)"
         ),
         "q_substring_dedup": (
             "WITH t AS (SELECT doc_id, coalesce(text,'') || "

@@ -147,3 +147,57 @@ def doc_fingerprints(texts: pd.Series) -> pd.Series:
 def fp64_text(texts: pd.Series) -> pd.Series:
     """Whole-document Rabin FP64 (content signature, MD5Signature analog)."""
     return pd.Series(hashing.fp64_utf16(texts.tolist()), index=texts.index)
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1 quality rules family), pure Catalyst:
+
+    * ``dup_token_frac`` — 1 - distinct_tokens / total_tokens (mass of
+      repeated tokens);
+    * ``top_bigram_frac`` — occurrences of the most frequent token
+      bigram / total bigrams (boilerplate/spam detector).
+
+    Shuffles once on (doc, bigram) then once on doc; no Python.  Docs
+    with < 2 tokens report 0.0 for the bigram fraction."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    tok_stats = base.select(
+        "doc",
+        (
+            1.0
+            - F.size(F.array_distinct("toks")).cast("double")
+            / F.greatest(F.col("n"), F.lit(1)).cast("double")
+        ).alias("dup_token_frac"),
+    )
+    bigrams = base.filter(F.col("n") >= 2).select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - 2),
+                lambda i: F.array_join(F.slice("toks", i + 1, 2), " "),
+            )
+        ).alias("bg"),
+    )
+    bg_stats = (
+        bigrams.groupBy("doc", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                "top_bigram_frac"
+            )
+        )
+    )
+    return (
+        tok_stats.join(bg_stats, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "dup_token_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
