@@ -837,6 +837,41 @@ def q_substring_dedup(spark, sf_dir):
     return dedup.substring_dup_counts(derived, "doc_id", "text", k=8, hashed=True)
 
 
+def q_rice_codec(spark, sf_dir):
+    """H8 Rice/Golomb coding end to end: per supplier, delta-encode the
+    sorted orderkey posting list (m=4), ROUND-TRIP it through the
+    reference-exact codec, and emit the posting count, the encoded bit
+    count, and the roundtrip verdict.  The oracle computes the bit
+    count in closed form — per gap, 1 (stop) + m + (gap >> m) — over
+    the same lag-derived gaps, and expects roundtrip_ok true."""
+    import pandas as pd
+
+    from ccspark import ricecoder
+
+    li = _load(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+
+    def _code(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["l_orderkey"].sort_values(kind="mergesort").to_numpy()
+        import numpy as np
+
+        gaps = np.diff(keys, prepend=np.int64(0))
+        nbits, blob = ricecoder.encode(gaps, 4, signed=False)
+        back = ricecoder.decode(nbits, blob, len(gaps), 4, signed=False)
+        return pd.DataFrame(
+            {
+                "l_suppkey": [int(pdf["l_suppkey"].iloc[0])],
+                "n_postings": [len(keys)],
+                "total_bits": [int(nbits)],
+                "roundtrip_ok": [bool((back == gaps).all())],
+            }
+        )
+
+    return li.groupBy("l_suppkey").applyInPandas(
+        _code,
+        schema="l_suppkey long, n_postings long, total_bits long, roundtrip_ok boolean",
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-family repetition quality signals (duplicate-token mass,
     top-bigram fraction) over the documents table — pure Catalyst; the
@@ -999,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_png_filters": q_media_png_filters,
         "q_substring_dedup": q_substring_dedup,
         "q_repetition_stats": q_repetition_stats,
+        "q_rice_codec": q_rice_codec,
         "q_ewma": q_ewma,
     }
 
@@ -1181,6 +1217,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS rms, "
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS peak "
             "FROM documents WHERE doc_id < 200"
+        ),
+        "q_rice_codec": (
+            "WITH s AS (SELECT l_suppkey, l_orderkey, "
+            "l_orderkey - lag(l_orderkey, 1, 0) OVER "
+            "(PARTITION BY l_suppkey ORDER BY l_orderkey) AS gap FROM lineitem) "
+            "SELECT l_suppkey, COUNT(*) AS n_postings, "
+            "CAST(SUM(1 + 4 + (gap // 16)) AS BIGINT) AS total_bits, "
+            "TRUE AS roundtrip_ok FROM s GROUP BY l_suppkey"
         ),
         "q_repetition_stats": (
             "WITH t AS (SELECT doc_id, coalesce(text,'') AS s FROM documents WHERE doc_id < 500), "

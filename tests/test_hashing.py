@@ -212,3 +212,43 @@ def test_hamming_distance_vectorized():
     got = H.hamming_distance(a, b).tolist()
     want = [bin((int(x) ^ 0) & (2**64 - 1)).count("1") for x in a.view(np.uint64)]
     assert got == want
+
+
+def test_rice_coder_golden_vectors():
+    """ricecoder encode/decode/bits_used byte-identical to the compiled
+    reference RiceCoder (tests/data/rice_golden.tsv, 23 vectors across
+    m=0..33 signed+unsigned incl. randoms)."""
+    import os
+
+    from ccspark import ricecoder
+
+    path = os.path.join(os.path.dirname(__file__), "data", "rice_golden.tsv")
+    n = 0
+    for line in open(path, encoding="ascii"):
+        m, signed, vals, nbits, hexbits, dec = line.rstrip("\n").split("\t")
+        m, signed, nbits = int(m), signed == "1", int(nbits)
+        values = [int(x) for x in vals.split(",")]
+        got_bits, got_bytes = ricecoder.encode(values, m, signed)
+        assert got_bits == nbits
+        assert got_bytes == bytes.fromhex(hexbits)
+        back = ricecoder.decode(nbits, got_bytes, len(values), m, signed)
+        assert list(back) == [int(x) for x in dec.split(",")]
+        assert ricecoder.bits_used(values, m, signed) == nbits
+        n += 1
+    assert n == 23
+
+
+def test_rice_coder_fuzz_roundtrip():
+    import numpy as np
+
+    from ccspark import ricecoder
+
+    rng = np.random.default_rng(21)
+    for m in (0, 1, 5, 9, 17, 30):
+        for signed in (False, True):
+            vals = rng.integers(
+                -(1 << (m + 8)) if signed else 0, 1 << (m + 8), size=200
+            ).astype(np.int64)
+            nbits, data = ricecoder.encode(vals, m, signed)
+            back = ricecoder.decode(nbits, data, len(vals), m, signed)
+            assert (back == vals).all(), (m, signed)
