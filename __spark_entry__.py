@@ -837,6 +837,54 @@ def q_substring_dedup(spark, sf_dir):
     return dedup.substring_dup_counts(derived, "doc_id", "text", k=8, hashed=True)
 
 
+# Fixed RFC 9309 robots.txt + 14 path families with expected decisions
+# (longest-match precedence, Allow on ties, '*'/'$' patterns).  The
+# expectations are fixed by the RFC rules themselves and verified by
+# the golden-tested parser at authoring time.
+_ROBOTS_RFC_TXT = (
+    "User-agent: *\n"
+    "Disallow: /private\n"
+    "Allow: /private/public\n"
+    "Disallow: /*.pdf$\n"
+    "Allow: /downloads/\n"
+    "Disallow: /tmp*\n"
+    "Allow: /a/*/c\n"
+    "Disallow: /a\n"
+    "Crawl-delay: 2\n"
+)
+_ROBOTS_RFC_PATHS = [
+    ("/", True), ("/ok", True), ("/private/x", False),
+    ("/private/public/y", True), ("/doc.pdf", False),
+    ("/downloads/doc.pdf", True), ("/tmpfile", False), ("/tmp/x", False),
+    ("/a/b/c", True), ("/a/b", False), ("/a", False), ("/downloads/", True),
+    ("/private", False), ("/b.pdfx", True),
+]
+
+
+def q_robots_rfc(spark, sf_dir):
+    """W3 robots gating oracled directly: a fixed RFC 9309 rules file
+    (Allow precedence, '*' and '$' patterns, longest-match ties) is
+    parsed into the rules table and evaluated over 14 path families by
+    the pure-Catalyst longest-match fold (politeness.robots_gate_rfc)
+    — plus the crawl-delay-derived per-round budget.  The oracle states
+    the per-family decisions as literals fixed by the RFC itself."""
+    from ccspark import politeness
+
+    ev = _load(spark, sf_dir, "events").filter("event_id < 2000")
+    path = F.element_at(
+        F.array(*[F.lit(p) for p, _ in _ROBOTS_RFC_PATHS]),
+        (F.col("event_id") % len(_ROBOTS_RFC_PATHS) + 1).cast("int"),
+    )
+    cand = ev.select("event_id", F.lit("site.example.com").alias("host"), path.alias("path"))
+    robots_src = spark.createDataFrame(
+        [("site.example.com", _ROBOTS_RFC_TXT)], "host string, robots_txt string"
+    )
+    rules = politeness.robots_rules_table(robots_src)
+    gated = politeness.robots_gate_rfc(cand, rules)
+    budgeted = politeness.with_budget(gated, default_budget=100, round_duration_ms=60_000)
+    return budgeted.select("event_id", "path", "robots_allowed", "budget")
+
+
 def q_rice_codec(spark, sf_dir):
     """H8 Rice/Golomb coding end to end: per supplier, delta-encode the
     sorted orderkey posting list (m=4), ROUND-TRIP it through the
@@ -1035,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_substring_dedup": q_substring_dedup,
         "q_repetition_stats": q_repetition_stats,
         "q_rice_codec": q_rice_codec,
+        "q_robots_rfc": q_robots_rfc,
         "q_ewma": q_ewma,
     }
 
@@ -1217,6 +1266,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS rms, "
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS peak "
             "FROM documents WHERE doc_id < 200"
+        ),
+        "q_robots_rfc": (
+            "SELECT event_id, "
+            "CASE CAST(event_id % 14 AS INT) "
+            + " ".join(
+                f"WHEN {i} THEN '{p}'" for i, (p, _) in enumerate(_ROBOTS_RFC_PATHS)
+            )
+            + " END AS path, "
+            "CASE CAST(event_id % 14 AS INT) "
+            + " ".join(
+                "WHEN {} THEN {}".format(i, "TRUE" if a else "FALSE")
+                for i, (_, a) in enumerate(_ROBOTS_RFC_PATHS)
+            )
+            + " END AS robots_allowed, "
+            "30 AS budget "  # least(default 100, 60000ms / 2000ms crawl-delay)
+            "FROM events WHERE event_id < 2000"
         ),
         "q_rice_codec": (
             "WITH s AS (SELECT l_suppkey, l_orderkey, "
