@@ -837,6 +837,54 @@ def q_substring_dedup(spark, sf_dir):
     return dedup.substring_dup_counts(derived, "doc_id", "text", k=8, hashed=True)
 
 
+def q_arc_roundtrip(spark, sf_dir):
+    """S1-S4 ARC stack oracled end to end: per Arrow batch, documents
+    are written into a real in-memory ARC file (gzip member per record,
+    metadata line, HTTP header block) and parsed back through the S1
+    scanner / S2 record assembly / S3 metadata parse / S4 header split;
+    the oracle recomputes url, mime, record length (27-byte fixed
+    header block + utf-8 payload length) and the payload md5 straight
+    from the documents table."""
+    import hashlib
+
+    import pandas as pd
+
+    from ccspark import arc
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .filter("doc_id < 300")
+        .select("doc_id", "source", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    )
+
+    def _rt(batches):
+        for pdf in batches:
+            recs = []
+            for did, src, txt in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                url = f"http://{src}.example.com/doc/{int(did)}"
+                payload = f"<html><body>{txt}</body></html>".encode("utf-8")
+                recs.append(
+                    dict(url=url, payload=payload, headers=[("Content-Type", " text/html")])
+                )
+            blob = arc.write_arc_bytes(recs)
+            rows = [
+                {
+                    "url": rec["url"],
+                    "mime": rec["mime"],
+                    "record_len": int(rec["record_len"]),
+                    "n_headers": len(rec["headers"]),
+                    "payload_md5": hashlib.md5(rec["payload"]).hexdigest(),
+                }
+                for rec in arc.read_arc_bytes(blob, "q.arc.gz")
+            ]
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        _rt,
+        schema="url string, mime string, record_len long, n_headers int, payload_md5 string",
+    )
+
+
 # Fixed RFC 9309 robots.txt + 14 path families with expected decisions
 # (longest-match precedence, Allow on ties, '*'/'$' patterns).  The
 # expectations are fixed by the RFC rules themselves and verified by
@@ -1084,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": q_repetition_stats,
         "q_rice_codec": q_rice_codec,
         "q_robots_rfc": q_robots_rfc,
+        "q_arc_roundtrip": q_arc_roundtrip,
         "q_ewma": q_ewma,
     }
 
@@ -1266,6 +1315,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS rms, "
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS peak "
             "FROM documents WHERE doc_id < 200"
+        ),
+        "q_arc_roundtrip": (
+            "SELECT 'http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url, "
+            "'text/html' AS mime, "
+            "CAST(27 + octet_length(encode('<html><body>' || coalesce(text, '') || '</body></html>')) AS BIGINT) AS record_len, "
+            "CAST(1 AS INT) AS n_headers, "
+            "md5('<html><body>' || coalesce(text, '') || '</body></html>') AS payload_md5 "
+            "FROM documents WHERE doc_id < 300"
         ),
         "q_robots_rfc": (
             "SELECT event_id, "
