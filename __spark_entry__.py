@@ -837,6 +837,49 @@ def q_substring_dedup(spark, sf_dir):
     return dedup.substring_dup_counts(derived, "doc_id", "text", k=8, hashed=True)
 
 
+def q_gzip_besteffort(spark, sf_dir):
+    """P9 GZIPUtils.unzipBestEffort oracled: per doc, the full gzip
+    round-trip must recover the exact text (md5-compared in SQL), and a
+    payload truncated mid-stream must still decode a prefix (never
+    throw) with the truncation flag set — the reference's best-effort
+    contract (GZIPUtils.java:56-114)."""
+    import gzip as _gz
+    import hashlib
+
+    import pandas as pd
+
+    from ccspark import text as cctext
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .filter("doc_id < 300")
+        .select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    )
+
+    def _rt(batches):
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                raw = txt.encode("utf-8")
+                blob = _gz.compress(raw, 6)
+                full, full_trunc = cctext.unzip_best_effort(blob)
+                part, part_trunc = cctext.unzip_best_effort(blob[: max(12, len(blob) // 2)])
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "full_md5": hashlib.md5(full).hexdigest(),
+                        "full_truncated": bool(full_trunc),
+                        "partial_ok": bool(part_trunc) and len(part) <= len(raw),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        _rt,
+        schema="doc_id long, full_md5 string, full_truncated boolean, partial_ok boolean",
+    )
+
+
 def q_arc_roundtrip(spark, sf_dir):
     """S1-S4 ARC stack oracled end to end: per Arrow batch, documents
     are written into a real in-memory ARC file (gzip member per record,
@@ -1133,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rice_codec": q_rice_codec,
         "q_robots_rfc": q_robots_rfc,
         "q_arc_roundtrip": q_arc_roundtrip,
+        "q_gzip_besteffort": q_gzip_besteffort,
         "q_ewma": q_ewma,
     }
 
@@ -1315,6 +1359,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS rms, "
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS peak "
             "FROM documents WHERE doc_id < 200"
+        ),
+        "q_gzip_besteffort": (
+            "SELECT doc_id, md5(coalesce(text, '')) AS full_md5, "
+            "FALSE AS full_truncated, TRUE AS partial_ok "
+            "FROM documents WHERE doc_id < 300"
         ),
         "q_arc_roundtrip": (
             "SELECT 'http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url, "
