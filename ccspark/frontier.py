@@ -84,6 +84,7 @@ class FrontierConfig:
         filter_kind: str = "bloom",
         buckets_per_element: int = 10,
         capacity_per_partition: int | None = None,
+        max_frontier_per_host: int | None = None,
     ):
         self.num_partitions = num_partitions
         self.universe_n = universe_n
@@ -95,6 +96,10 @@ class FrontierConfig:
         self.n_salts = n_salts
         self.filter_kind = filter_kind
         self.buckets_per_element = buckets_per_element
+        # per-host frontier cap: a hot host's queue is priority-evicted
+        # down to this size each round (None = unbounded); evicted URLs
+        # stay rediscoverable through future links
+        self.max_frontier_per_host = max_frontier_per_host
         # fixed bloom capacity → per-round delta build + bitwise-OR merge
         self.capacity_per_partition = capacity_per_partition or max(
             4 * universe_n // num_partitions, 1024
@@ -380,7 +385,16 @@ class CrawlFrontier:
                 F.min("discovered_round").alias("discovered_round"),
             )
             .select(*FRONTIER_COLS)
-            .observe(obs_frontier, F.count(F.lit(1)).alias("n"))
+        )
+        if cfg.max_frontier_per_host is not None:
+            # priority-evict hot hosts' queues (domain_hash is the host
+            # fingerprint — no string work); deterministic total order,
+            # so the cap is partition-count invariant like everything else
+            next_frontier = politeness.topk_per_key(
+                next_frontier, "domain_hash", cfg.max_frontier_per_host, cfg.n_salts
+            ).select(*FRONTIER_COLS)
+        next_frontier = next_frontier.observe(
+            obs_frontier, F.count(F.lit(1)).alias("n")
         )
         # NOTE: no repartition after the groupBy — the agg already
         # distributed rows by (domain_hash, url_hash) and every consumer

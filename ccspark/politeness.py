@@ -328,6 +328,29 @@ def rank_per_host(df: DataFrame, n_salts: int = 16) -> DataFrame:
     )
 
 
+def topk_per_key(df: DataFrame, key_col: str, k: int, n_salts: int = 16) -> DataFrame:
+    """Deterministic per-key top-k by the frontier total order
+    (priority DESC, domain_hash, url_hash) using the same two-stage
+    salted window as rank_per_host — hot keys never serialize one
+    window partition, and the result equals the unsalted top-k.  Used
+    for per-host frontier capping (priority eviction of queue
+    blowups)."""
+    order = [F.desc("priority"), F.asc("domain_hash"), F.asc("url_hash")]
+    salted = df.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int"))
+    w1 = Window.partitionBy(key_col, "_salt").orderBy(*order)
+    pruned = (
+        salted.withColumn("_sr", F.row_number().over(w1))
+        .filter(F.col("_sr") <= k)
+        .drop("_sr", "_salt")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        pruned.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
 def robots_gate_rfc(df: DataFrame, robots: DataFrame, broadcast_robots: bool = True) -> DataFrame:
     """RFC 9309 flag variant of ``robots_gate`` over a ``rules`` table
     (see robots_rules_table): adds ``robots_allowed`` via the

@@ -199,3 +199,48 @@ def test_frontier_against_iceberg_catalog(tmp_path):
         assert trace == exp_trace
     finally:
         pass  # session shared-ish; leave running
+
+
+def test_frontier_per_host_cap(spark, tmp_path):
+    """max_frontier_per_host priority-evicts hot hosts' queues every
+    round; the cap holds in every checkpointed frontier and the run is
+    partition-count invariant like the uncapped loop."""
+    from pyspark.sql import functions as F
+
+    def run(ckpt, parts):
+        cfg = FrontierConfig(
+            num_partitions=parts,
+            universe_n=UNIVERSE,
+            n_hosts=N_HOSTS,
+            seed=SEED,
+            links_per_fetch=LINKS,
+            default_budget=BUDGET,
+            round_duration_ms=ROUND_MS,
+            n_salts=4,
+            max_frontier_per_host=5,
+        )
+        fr = CrawlFrontier(spark, ckpt, cfg)
+        seeds = synth.gen_seeds(spark, UNIVERSE, N_HOSTS, SEED)
+        fr.run(seeds, 2)
+        return fr
+
+    fr = run(str(tmp_path / "capped_a"), 8)
+    for r in (1, 2):
+        frontier = fr.ckpt.read(spark, "frontier", r)
+        over = (
+            frontier.groupBy("domain_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 5)
+            .count()
+        )
+        assert over == 0, f"round {r}: host queue exceeds cap"
+    fr_b = run(str(tmp_path / "capped_b"), 2)
+    ta = {
+        (r["round"], r["host"], r["host_rank"], r["canonical_url"])
+        for r in fr.read_trace(2).collect()
+    }
+    tb = {
+        (r["round"], r["host"], r["host_rank"], r["canonical_url"])
+        for r in fr_b.read_trace(2).collect()
+    }
+    assert ta == tb and len(ta) > 0
