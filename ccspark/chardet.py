@@ -376,6 +376,34 @@ def _sampler_counts(data: bytes) -> tuple[bool, int, np.ndarray, np.ndarray]:
     return len(viol) == 0, int(len(vals)), first, second
 
 
+def _sampler_counts_batch(mati: np.ndarray, lengths: np.ndarray):
+    """_sampler_counts for EVERY doc of the batch matrix in ~15 matrix
+    ops: (valid (D,), total (D,), first (D,94), second (D,94)).
+    Parity with the scalar version is covered by the batch-vs-scalar
+    detector fuzz (the sampler feeds the detection verdicts)."""
+    D, L = mati.shape
+    pos = np.arange(L, dtype=np.int32)[None, :]
+    inlen = pos < lengths[:, None]
+    high = (mati >= 0x80) & inlen
+    bad_high = high & ((mati == 0xFF) | (mati < 0xA1))
+    cum = np.cumsum(high, axis=1)
+    bad_low = (~high) & inlen & ((cum & 1) == 1)
+    viol = bad_high | bad_low
+    has_viol = viol.any(axis=1)
+    cut = np.where(has_viol, viol.argmax(axis=1), lengths.astype(np.int64))
+    valid_cells = high & (pos < cut[:, None])
+    rows, cols = np.nonzero(valid_cells)
+    vals = mati[rows, cols] - 0xA1
+    rank = cum[rows, cols] - 1  # 0-based rank of the high byte in its doc
+    first = np.zeros((D, 94), dtype=np.int64)
+    second = np.zeros((D, 94), dtype=np.int64)
+    even = (rank & 1) == 0
+    np.add.at(first, (rows[even], vals[even]), 1)
+    np.add.at(second, (rows[~even], vals[~even]), 1)
+    total = np.bincount(rows, minlength=D)
+    return ~has_viol, total, first, second
+
+
 def _sampler_score(stats: dict, first_freq: np.ndarray, second_freq: np.ndarray) -> float:
     a = np.asarray(stats["mFirstByteFreq"]) - first_freq
     b = np.asarray(stats["mSecondByteFreq"]) - second_freq
@@ -384,38 +412,53 @@ def _sampler_score(stats: dict, first_freq: np.ndarray, second_freq: np.ndarray)
     ] * (float(b @ b) ** 0.5 / 94.0)
 
 
-def _scan_events(death: np.ndarray, itsme: np.ndarray, upto: int):
+def _scan_events(
+    death: np.ndarray,
+    itsme: np.ndarray,
+    upto: int,
+    state: tuple | None = None,
+):
     """Exact nsPSMDetector byte-loop bookkeeping from event times < upto:
-    returns (item_idx, items, done).  done=True means DoIt completed
-    mid-stream → the caller returns "ASCII" (the isAscii quirk);
-    reconstruction from scratch is O(V log V + events·V)."""
-    item_idx = list(range(_V))
-    items = _V
-    events = sorted({int(x) for x in death.tolist() + itsme.tolist() if x < upto})
+    returns (item_idx, items, done, scanned_upto).  done=True means DoIt
+    completed mid-stream → the caller returns "ASCII" (the isAscii
+    quirk).  Pass the previous return as ``state`` to scan INCREMENTALLY
+    — only events in [scanned_upto, upto) are replayed, so per-chunk
+    re-finalization costs O(new events · V) instead of re-walking the
+    full history every chunk."""
+    if state is None:
+        item_idx = list(range(_V))
+        items = _V
+        lo = 0
+    else:
+        item_idx, items, _, lo = state
+    events = sorted(
+        {int(x) for x in death.tolist() + itsme.tolist() if lo <= x < upto}
+    )
     for t in events:
         j = 0
         while j < items:
             v = item_idx[j]
             if itsme[v] == t:
-                return item_idx, items, True  # ITSME report mid-stream
+                return item_idx, items, True, upto  # ITSME mid-stream
             if death[v] == t:
                 items -= 1
                 item_idx[j] = item_idx[items]
             else:
                 j += 1
         if items <= 1:
-            return item_idx, items, True  # done (report or items==0)
+            return item_idx, items, True, upto  # done (report or items==0)
         non_ucs2 = sum(1 for k in range(items) if not _IS_UCS2_ARR[item_idx[k]])
         if non_ucs2 == 1:
-            return item_idx, items, True
-    return item_idx, items, False
+            return item_idx, items, True, upto
+    return item_idx, items, False, upto
 
 
-def _finish(data: bytes, item_idx: list, items: int) -> str:
+def _finish(samp, item_idx: list, items: int) -> str:
     """End-of-buffer Sample() + DataEnd for a doc that survived the byte
     scan: the sampler gates, GB18030 two-survivor rule, last-chance
-    scoring, then probable[0] / nomatch."""
-    samp_valid, samp_total, first_cnt, second_cnt = _sampler_counts(data)
+    scoring, then probable[0] / nomatch.  ``samp`` is the precomputed
+    (valid, total, first_cnt, second_cnt) sampler tuple."""
+    samp_valid, samp_total, first_cnt, second_cnt = samp
 
     def euc_possible():
         e = sum(1 for k in range(items) if item_idx[k] in _STATS_BY_INDEX)
@@ -489,6 +532,10 @@ def _detect_nonascii_batch(datas: list) -> list:
     # (L/2, D) byte-pair matrix, row-contiguous per step
     pairT = np.ascontiguousarray(((mati[:, 0::2] << 8) | mati[:, 1::2]).T)
     tpair = _pair_table()
+    # sampler statistics for every doc, one vectorized pass (indexed by
+    # ORIGINAL doc position; survives row compaction)
+    s_valid, s_total, s_first, s_second = _sampler_counts_batch(mati, lengths)
+    scan_states: list = [None] * D  # incremental _scan_events state per doc
     active = np.arange(D)
     # state is the PRE-SHIFTED absolute row id ((v*16 + s) * 65536): the
     # inner loop is one add + one take per TWO bytes over the whole
@@ -537,15 +584,29 @@ def _detect_nonascii_batch(datas: list) -> list:
             if not dirty[r] and c1 < L and lengths[r] > c1:
                 n_live += 1
                 continue
+            orig = int(active[r])
             n = int(lengths[r])
-            item_idx, items, done = _scan_events(death[r], itsme[r], min(c1, n))
+            st = _scan_events(
+                death[r], itsme[r], min(c1, n), state=scan_states[orig]
+            )
+            scan_states[orig] = st
+            item_idx, items, done, _ = st
             if done:
-                results[active[r]] = "ASCII"  # DoIt returned True (quirk)
+                results[orig] = "ASCII"  # DoIt returned True (quirk)
                 finished[r] = True
             elif n <= c1 or absorbed[r].all():
                 # stream exhausted, or no further events possible — the
-                # sampler consumes the raw bytes independently of phase A
-                results[active[r]] = _finish(datas[active[r]], item_idx, items)
+                # sampler consumed the raw bytes in the batched pre-pass
+                results[orig] = _finish(
+                    (
+                        bool(s_valid[orig]),
+                        int(s_total[orig]),
+                        s_first[orig],
+                        s_second[orig],
+                    ),
+                    item_idx,
+                    items,
+                )
                 finished[r] = True
             else:
                 n_live += 1
