@@ -837,6 +837,40 @@ def q_substring_dedup(spark, sf_dir):
     return dedup.substring_dup_counts(derived, "doc_id", "text", k=8, hashed=True)
 
 
+def q_schedule_round(spark, sf_dir):
+    """The full politeness pipeline (J2 robots broadcast gate + J3/W1
+    crawl-delay budget + W4 two-stage salted rank) oracled end to end:
+    derived candidates over 40 hosts with a 10-host robots table
+    (disallow prefix + binding crawl-delay), scheduled by
+    politeness.schedule_round; the oracle REIMPLEMENTS the whole gate
+    in SQL (LIKE prefix filter, CASE budget, ROW_NUMBER window) — the
+    salted rank provably equals the unsalted one."""
+    from ccspark import politeness
+
+    ev = _load(spark, sf_dir, "events").filter("event_id < 3000")
+    host = F.concat(F.lit("h"), (F.col("event_id") % 40).cast("string"), F.lit(".com"))
+    path = F.element_at(
+        F.array(
+            F.lit("/a"), F.lit("/private/x"), F.lit("/b"), F.lit("/private"), F.lit("/c/d")
+        ),
+        (F.col("event_id") % 5 + 1).cast("int"),
+    )
+    cands = ev.select(
+        F.concat(F.lit("http://"), host, path).alias("canonical_url"),
+        ((F.col("event_id") % 100) / 100.0).alias("priority"),
+        (F.col("event_id") % 40).alias("domain_hash"),
+        F.col("event_id").alias("url_hash"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}.com", ["/private"], 20000, None) for i in range(0, 40, 4)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long, max_fetches_per_round int",
+    )
+    sched = politeness.schedule_round(
+        cands, robots, default_budget=5, round_duration_ms=60_000, n_salts=4
+    )
+    return sched.select("host", "host_rank", "url_hash", "priority")
+
+
 def q_gzip_besteffort(spark, sf_dir):
     """P9 GZIPUtils.unzipBestEffort oracled: per doc, the full gzip
     round-trip must recover the exact text (md5-compared in SQL), and a
@@ -1177,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_rfc": q_robots_rfc,
         "q_arc_roundtrip": q_arc_roundtrip,
         "q_gzip_besteffort": q_gzip_besteffort,
+        "q_schedule_round": q_schedule_round,
         "q_ewma": q_ewma,
     }
 
@@ -1359,6 +1394,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS rms, "
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS peak "
             "FROM documents WHERE doc_id < 200"
+        ),
+        "q_schedule_round": (
+            "WITH c AS (SELECT 'h' || CAST(event_id % 40 AS VARCHAR) || '.com' AS host, "
+            "['/a', '/private/x', '/b', '/private', '/c/d'][CAST(event_id % 5 AS INT) + 1] AS path, "
+            "(event_id % 100) / 100.0 AS priority, "
+            "event_id % 40 AS domain_hash, event_id AS url_hash, "
+            "(event_id % 40) % 4 = 0 AS ruled "
+            "FROM events WHERE event_id < 3000), "
+            "a AS (SELECT * FROM c WHERE NOT (ruled AND path LIKE '/private%')), "
+            "r AS (SELECT host, url_hash, priority, "
+            "CASE WHEN ruled THEN 3 ELSE 5 END AS budget, "
+            "ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, domain_hash, url_hash) AS host_rank "
+            "FROM a) "
+            "SELECT host, CAST(host_rank AS INT) AS host_rank, url_hash, priority "
+            "FROM r WHERE host_rank <= budget"
         ),
         "q_gzip_besteffort": (
             "SELECT doc_id, md5(coalesce(text, '')) AS full_md5, "
