@@ -143,7 +143,23 @@ def cuckoo_build(keys: np.ndarray, load_factor: float = 0.84) -> tuple[int, int,
     nb = 1
     while nb * _CK_SLOTS * load_factor < n:
         nb <<= 1
+    # overflow (a key whose both buckets stay full after the eviction
+    # budget) would be a FALSE NEGATIVE — not acceptable for a seen-set
+    # pre-filter, so grow the table and rebuild instead (the standard
+    # cuckoo response; pathological bucket collisions disperse at the
+    # next power of two).  Hypothesis found a 5-key set whose i1 == i2
+    # all landed in one 4-slot bucket at nb=2.
+    for _ in range(16):
+        table, ok = _cuckoo_try_build(keys, nb)
+        if ok:
+            break
+        nb <<= 1
+    return _CK_SLOTS, nb, table.tobytes()
+
+
+def _cuckoo_try_build(keys: np.ndarray, nb: int) -> tuple[np.ndarray, bool]:
     table = np.zeros((nb, _CK_SLOTS), dtype=np.uint16)
+    dropped = False
     if len(keys):
         keys = np.asarray(keys, dtype=np.int64)
         f_all = _ck_fingerprint(keys)
@@ -191,9 +207,9 @@ def cuckoo_build(keys: np.ndarray, load_factor: float = 0.84) -> tuple[int, int,
                         table[cur, empty[0]] = fp
                         fp = 0
                         break
-                # on overflow the displaced fingerprint is dropped (fp>0):
-                # acceptable for a pre-filter — exact confirm catches it
-    return _CK_SLOTS, nb, table.tobytes()
+                if fp != 0:
+                    dropped = True  # caller grows the table and rebuilds
+    return table, not dropped
 
 
 def cuckoo_probe(keys: np.ndarray, slots: int, nb: int, bits: bytes) -> np.ndarray:
