@@ -244,3 +244,30 @@ def test_frontier_per_host_cap(spark, tmp_path):
         for r in fr_b.read_trace(2).collect()
     }
     assert ta == tb and len(ta) > 0
+
+
+def test_cuckoo_filter_kind_trace_equals_bloom(spark, tmp_path, crawl):
+    """filter_kind='cuckoo' (per-round rebuild + the FUSED cogroup
+    novelty gate, since no broadcast_bytes hint exists for cuckoo) must
+    produce the identical schedule trace and seen set as the bloom run
+    — both are pre-filters with exact confirmation."""
+    ckpt_k = str(tmp_path / "ckpt_cuckoo")
+    cfg = FrontierConfig(
+        num_partitions=8,
+        universe_n=UNIVERSE,
+        n_hosts=N_HOSTS,
+        seed=SEED,
+        links_per_fetch=LINKS,
+        default_budget=BUDGET,
+        round_duration_ms=ROUND_MS,
+        n_salts=4,
+        filter_kind="cuckoo",
+    )
+    fr = CrawlFrontier(spark, ckpt_k, cfg)
+    seeds = synth.gen_seeds(spark, UNIVERSE, N_HOSTS, SEED)
+    fr.run(seeds, ROUNDS)
+    trace_k, seen_k = _spark_trace(spark, ckpt_k, ROUNDS)
+    ckpt_a, _ = crawl
+    trace_a, seen_a = _spark_trace(spark, ckpt_a, ROUNDS)
+    assert trace_k == trace_a
+    assert seen_k == seen_a
