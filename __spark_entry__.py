@@ -871,6 +871,57 @@ def q_schedule_round(spark, sf_dir):
     return sched.select("host", "host_rank", "url_hash", "priority")
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source oracled like q_arc_roundtrip: documents written into
+    real in-memory .warc.gz files (gzip member per record, WARC/1.0
+    header block, HTTP response payload) and parsed back through the
+    WARC record/HTTP splitter; the oracle recomputes url, status,
+    content type and body md5 from the documents table."""
+    import hashlib
+
+    import pandas as pd
+
+    from ccspark import warc
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .filter("doc_id < 300")
+        .select("doc_id", "source", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    )
+
+    def _rt(batches):
+        for pdf in batches:
+            recs = []
+            for did, src, txt in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                body = f"<html><body>{txt}</body></html>".encode("utf-8")
+                recs.append(
+                    dict(
+                        warc_type="response",
+                        url=f"http://{src}.example.com/doc/{int(did)}",
+                        payload=warc.build_http_response(
+                            body, headers=[("Content-Type", "text/html")]
+                        ),
+                    )
+                )
+            blob = warc.write_warc_bytes(recs)
+            rows = [
+                {
+                    "url": rec["url"],
+                    "http_status": rec["http_status"],
+                    "content_type": rec["content_type"],
+                    "body_md5": hashlib.md5(rec["payload"]).hexdigest(),
+                }
+                for rec in warc.read_warc_bytes(blob, "q.warc.gz")
+                if rec["warc_type"] == "response"
+            ]
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        _rt,
+        schema="url string, http_status int, content_type string, body_md5 string",
+    )
+
+
 def q_gzip_besteffort(spark, sf_dir):
     """P9 GZIPUtils.unzipBestEffort oracled: per doc, the full gzip
     round-trip must recover the exact text (md5-compared in SQL), and a
@@ -1212,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_arc_roundtrip": q_arc_roundtrip,
         "q_gzip_besteffort": q_gzip_besteffort,
         "q_schedule_round": q_schedule_round,
+        "q_warc_roundtrip": q_warc_roundtrip,
         "q_ewma": q_ewma,
     }
 
@@ -1394,6 +1446,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS rms, "
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS peak "
             "FROM documents WHERE doc_id < 200"
+        ),
+        "q_warc_roundtrip": (
+            "SELECT 'http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url, "
+            "CAST(200 AS INT) AS http_status, "
+            "'application/http; msgtype=response' AS content_type, "
+            "md5('<html><body>' || coalesce(text, '') || '</body></html>') AS body_md5 "
+            "FROM documents WHERE doc_id < 300"
         ),
         "q_schedule_round": (
             "WITH c AS (SELECT 'h' || CAST(event_id % 40 AS VARCHAR) || '.com' AS host, "

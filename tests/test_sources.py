@@ -52,3 +52,36 @@ def test_fetch_ranges_feeds_arc_records(spark, tmp_path):
     recs = list(arc.read_arc_bytes(bytes(fetched["data"]), arc_file="r.arc.gz"))
     assert len(recs) == 1
     assert recs[0]["url"] == "http://r.example.com/x"
+
+
+def test_warc_scan_spark(spark, tmp_path):
+    """WARC source end to end: write .warc.gz files, scan_warc them
+    distributed, verify record fields + payload bytes."""
+    from ccspark import warc
+
+    for fi in range(2):
+        recs = [
+            dict(
+                warc_type="response",
+                url=f"http://f{fi}h{i}.com/p/{i}",
+                payload=warc.build_http_response(
+                    f"<html>file{fi} doc{i}</html>".encode(),
+                    headers=[("Content-Type", "text/html"), ("X-N", str(i))],
+                ),
+            )
+            for i in range(5)
+        ]
+        (tmp_path / f"part{fi}.warc.gz").write_bytes(warc.write_warc_bytes(recs))
+    df = warc.scan_warc(spark, str(tmp_path))
+    rows = df.collect()
+    resp = [r for r in rows if r["warc_type"] == "response"]
+    assert len(resp) == 10
+    assert len([r for r in rows if r["warc_type"] == "warcinfo"]) == 2
+    by_url = {r["url"]: r for r in resp}
+    assert bytes(by_url["http://f1h3.com/p/3"]["payload"]) == b"<html>file1 doc3</html>"
+    assert by_url["http://f0h0.com/p/0"]["http_status"] == 200
+    hdrs = {h["name"]: h["value"] for h in by_url["http://f0h2.com/p/2"]["http_headers"]}
+    assert hdrs["X-N"] == "2"
+    # offsets are monotone within a file (the member framing works)
+    offs = sorted(r["warc_offset"] for r in rows if r["warc_file"].endswith("part0.warc.gz"))
+    assert offs == sorted(set(offs)) and offs[0] == 0
