@@ -871,6 +871,68 @@ def q_schedule_round(spark, sf_dir):
     return sched.select("host", "host_rank", "url_hash", "priority")
 
 
+def q_cdx_surt(spark, sf_dir):
+    """CDX/SURT index generation oracled: derived captures → SURT keys
+    (lowercase, scheme/www-stripped, reversed comma-joined host labels)
+    + the 9-field CDX line; the oracle rebuilds both in SQL
+    (string_split + list_reverse + concat)."""
+    from ccspark import cdx
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 300")
+    caps = docs.select(
+        F.concat(
+            F.lit("https://WWW."), F.upper(F.col("source")), F.lit(".Example.com/Doc/"),
+            F.col("doc_id").cast("string"), F.lit("?v=1"),
+        ).alias("url"),
+        F.lit("2024-02-03 04:05:06").cast("timestamp").alias("warc_ts"),
+        F.lit("text/html").alias("mime"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("digest"),
+        (F.col("doc_id") * 100 + 7).alias("record_len"),
+        (F.col("doc_id") * 1000).alias("arc_offset"),
+        F.lit("crawl-00.arc.gz").alias("arc_file"),
+        F.col("doc_id"),
+    )
+    out = cdx.cdx_lines(caps)
+    return caps.select("doc_id").join(
+        out.withColumn("doc_id", F.regexp_extract("cdx", r"/doc/(\d+)\?", 1).cast("long")),
+        "doc_id",
+    ).select("doc_id", "surt", "ts14", "cdx")
+
+
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap ingestion oracled: per doc a deterministic sitemap XML
+    (3 <url> entries, priority present on every 2nd, lastmod on every
+    3rd) is synthesized IN SQL-reproducible form and parsed by the
+    pure-Catalyst extractor; the oracle rebuilds the expected exploded
+    rows arithmetically."""
+    from ccspark import sitemaps
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 200").select("doc_id")
+    d = F.col("doc_id")
+
+    def entry(j):
+        loc = F.concat(
+            F.lit("<loc> https://s"), (d % 20).cast("string"),
+            F.lit(".example.com/p/"), (d * 3 + j).cast("string"), F.lit(" </loc>")
+        )
+        pri = F.when(
+            (d + j) % 2 == 0,
+            F.concat(F.lit("<priority>0."), ((d + j) % 9 + 1).cast("string"), F.lit("</priority>")),
+        ).otherwise(F.lit(""))
+        lm = F.when(
+            (d + j) % 3 == 0, F.lit("<lastmod>2024-01-15</lastmod>")
+        ).otherwise(F.lit(""))
+        return F.concat(F.lit("<url>"), loc, pri, lm, F.lit("</url>"))
+
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        entry(0), entry(1), entry(2),
+        F.lit("</urlset>"),
+    )
+    src = docs.select("doc_id", xml.alias("xml"))
+    return sitemaps.extract_sitemap_entries(src, "doc_id", "xml")
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC source oracled like q_arc_roundtrip: documents written into
     real in-memory .warc.gz files (gzip member per record, WARC/1.0
@@ -1264,6 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gzip_besteffort": q_gzip_besteffort,
         "q_schedule_round": q_schedule_round,
         "q_warc_roundtrip": q_warc_roundtrip,
+        "q_sitemap_extract": q_sitemap_extract,
+        "q_cdx_surt": q_cdx_surt,
         "q_ewma": q_ewma,
     }
 
@@ -1446,6 +1510,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS rms, "
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS peak "
             "FROM documents WHERE doc_id < 200"
+        ),
+        "q_cdx_surt": (
+            "WITH c AS (SELECT doc_id, "
+            "'https://www.' || lower(source) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || '?v=1' AS lurl, "
+            "'https://WWW.' || upper(source) || '.Example.com/Doc/' || CAST(doc_id AS VARCHAR) || '?v=1' AS url, "
+            "lower(source) || '.example.com' AS host, "
+            "'/doc/' || CAST(doc_id AS VARCHAR) || '?v=1' AS rest, "
+            "md5(coalesce(text, '')) AS digest, "
+            "doc_id * 100 + 7 AS record_len, doc_id * 1000 AS arc_offset "
+            "FROM documents WHERE doc_id < 300), "
+            "s AS (SELECT doc_id, url, digest, record_len, arc_offset, "
+            "array_to_string(list_reverse(string_split(host, '.')), ',') || ')' || rest AS surt FROM c) "
+            "SELECT doc_id, surt, '20240203040506' AS ts14, "
+            "surt || ' 20240203040506 ' || url || ' text/html 200 ' || digest || ' ' || "
+            "CAST(record_len AS VARCHAR) || ' ' || CAST(arc_offset AS VARCHAR) || ' crawl-00.arc.gz' AS cdx "
+            "FROM s"
+        ),
+        "q_sitemap_extract": (
+            "WITH j AS (SELECT doc_id, unnest([0, 1, 2]) AS j "
+            "FROM documents WHERE doc_id < 200) "
+            "SELECT doc_id, "
+            "'https://s' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/' || "
+            "CAST(doc_id * 3 + j AS VARCHAR) AS loc, "
+            "CASE WHEN (doc_id + j) % 3 = 0 THEN '2024-01-15' END AS lastmod, "
+            "CAST(NULL AS VARCHAR) AS changefreq, "
+            "CASE WHEN (doc_id + j) % 2 = 0 "
+            "THEN CAST('0.' || CAST((doc_id + j) % 9 + 1 AS VARCHAR) AS DOUBLE) END AS priority "
+            "FROM j"
         ),
         "q_warc_roundtrip": (
             "SELECT 'http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url, "
