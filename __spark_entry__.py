@@ -871,6 +871,32 @@ def q_schedule_round(spark, sf_dir):
     return sched.select("host", "host_rank", "url_hash", "priority")
 
 
+def q_link_extract(spark, sf_dir):
+    """HTML out-link extraction + RFC 3986 resolution + canonical
+    identity, oracled: per doc a page with six hrefs (absolute-path,
+    relative, dot-segment, external with &amp; entity, fragment-only,
+    javascript:) — the last two must be dropped, the rest resolve and
+    canonicalize to closed-form URLs the oracle rebuilds in SQL."""
+    from ccspark import links
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 200").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 20).cast("string")
+    base = F.concat(F.lit("http://www.s"), k, F.lit(".example.com/dir/page"), d, F.lit(".html"))
+    html = F.concat(
+        F.lit('<html><body><a href="/abs/'), d, F.lit('">a</a>'),
+        F.lit("<a href='rel"), d, F.lit("'>b</a>"),
+        F.lit('<a href="../up'), d, F.lit('">c</a>'),
+        F.lit('<a href="https://ext'), (F.col("doc_id") % 7).cast("string"),
+        F.lit('.com/p?a=1&amp;b=2">d</a>'),
+        F.lit('<a href="#frag">e</a><a href="javascript:void(0)">f</a>'),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(base.alias("url"), html.alias("html"))
+    out = links.page_links(pages, "url", "html")
+    return out.select("url", "link", "canonical_url", "url_valid")
+
+
 def q_cdx_surt(spark, sf_dir):
     """CDX/SURT index generation oracled: derived captures → SURT keys
     (lowercase, scheme/www-stripped, reversed comma-joined host labels)
@@ -1328,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_sitemap_extract": q_sitemap_extract,
         "q_cdx_surt": q_cdx_surt,
+        "q_link_extract": q_link_extract,
         "q_ewma": q_ewma,
     }
 
@@ -1510,6 +1537,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS rms, "
             "CAST(100 + (doc_id * 3) % 1000 AS DOUBLE) AS peak "
             "FROM documents WHERE doc_id < 200"
+        ),
+        "q_link_extract": (
+            "WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, "
+            "CAST(doc_id % 20 AS VARCHAR) AS k, CAST(doc_id % 7 AS VARCHAR) AS e "
+            "FROM documents WHERE doc_id < 200), "
+            "f AS (SELECT doc_id, i, k, e, unnest([1, 2, 3, 4]) AS fam FROM d) "
+            "SELECT 'http://www.s' || k || '.example.com/dir/page' || i || '.html' AS url, "
+            "CASE fam "
+            "WHEN 1 THEN 'http://www.s' || k || '.example.com/abs/' || i "
+            "WHEN 2 THEN 'http://www.s' || k || '.example.com/dir/rel' || i "
+            "WHEN 3 THEN 'http://www.s' || k || '.example.com/up' || i "
+            "ELSE 'https://ext' || e || '.com/p?a=1&b=2' END AS link, "
+            "CASE fam "
+            "WHEN 1 THEN 'http://s' || k || '.example.com/abs/' || i "
+            "WHEN 2 THEN 'http://s' || k || '.example.com/dir/rel' || i "
+            "WHEN 3 THEN 'http://s' || k || '.example.com/up' || i "
+            "ELSE 'https://ext' || e || '.com/p?a=1&b=2' END AS canonical_url, "
+            "TRUE AS url_valid FROM f"
         ),
         "q_cdx_surt": (
             "WITH c AS (SELECT doc_id, "

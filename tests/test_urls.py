@@ -307,3 +307,30 @@ def test_ipv6_literal_hosts_rejected_like_reference():
     for i, u in enumerate(cases):
         assert canon.iloc[i] is None, u
         assert host.iloc[i] is None, u
+
+
+def test_page_links_extraction(spark):
+    """links.page_links: href forms (quoted/unquoted), entity unescape,
+    dot-segment resolution, skip families, canonical identity."""
+    from ccspark import links
+
+    html = (
+        '<html><body><a href="/a/b">x</a>'
+        "<a class=z href='../up'>y</a>"
+        "<a href=bare?q=1>z</a>"
+        '<A HREF="HTTPS://Other.COM/Abs#frag">abs</A>'
+        '<a href="#frag">skip</a><a href="javascript:void(0)">skip</a>'
+        '<a href="mailto:a@b">skip</a>'
+        '<a href="/amp?a=1&amp;b=2">amp</a></body></html>'
+    )
+    df = spark.createDataFrame(
+        [("http://www.example.com/dir/page.html", html)], "url string, html string"
+    )
+    out = {r["canonical_url"] for r in links.page_links(df, "url", "html").collect()}
+    assert out == {
+        "http://example.com/a/b",
+        "http://example.com/up",
+        "http://example.com/dir/bare?q=1",
+        "https://other.com/Abs",
+        "http://example.com/amp?a=1&b=2",
+    }
