@@ -131,16 +131,26 @@ class CrawlFrontier:
         ckpt_dir: str,
         cfg: FrontierConfig | None = None,
         checkpoint=None,
+        expand_fn=None,
     ):
         """``ckpt_dir`` may be a filesystem path (parquet-emulation
         backend) or ``iceberg:<catalog>.<namespace>`` (real Iceberg
         catalog backend, see ccspark.catalog); ``checkpoint`` overrides
-        with an explicit backend instance."""
+        with an explicit backend instance.
+
+        ``expand_fn(scheduled_df) -> DataFrame(url, priority)`` plugs a
+        REAL fetch + link-extraction pipeline (e.g. fetch html, then
+        ccspark.links.page_links) in place of the deterministic
+        simulation; its output goes through the same fused
+        canonicalize+fingerprint identity as every other URL.  The
+        default simulation is what keeps the pure-Python replay oracle
+        exact."""
         from .catalog import make_checkpoint
 
         self.spark = spark
         self.cfg = cfg or FrontierConfig()
         self.ckpt = checkpoint or make_checkpoint(spark, ckpt_dir)
+        self.expand_fn = expand_fn
 
     # -- plumbing ---------------------------------------------------------
 
@@ -326,12 +336,14 @@ class CrawlFrontier:
             seen.unionByName(seen_delta) if seen is not None else seen_delta
         )
 
-        # fetch simulation → discovered links, expansion + canonicalize +
-        # fingerprint FUSED into one python pass (one Arrow hop instead of
-        # mapInPandas → JVM → pandas_udf; link strings cross the boundary
-        # once).  Identity columns WITHOUT the per-links groupBy — the
-        # next-frontier aggregation below dedups (min url / max priority)
-        # over leftover ∪ links in ONE shuffle instead of two.
+        # link discovery: either the pluggable real pipeline (expand_fn →
+        # raw urls → the fused identity kernel) or the deterministic
+        # fetch simulation with expansion + canonicalize + fingerprint
+        # FUSED into one python pass (one Arrow hop; link strings cross
+        # the boundary once).  Identity columns WITHOUT the per-links
+        # groupBy — the next-frontier aggregation below dedups (min url /
+        # max priority) over leftover ∪ links in ONE shuffle instead of
+        # two.
         def _expand_ident(batches):
             from . import urls as urls_mod
 
@@ -355,9 +367,13 @@ class CrawlFrontier:
                     }
                 )
 
-        links = (
-            scheduled.select("url_hash", "priority")
-            .mapInPandas(
+        if self.expand_fn is not None:
+            # real pipeline: expand_fn yields raw (url, priority); the
+            # fused kernel assigns the same canonical identity as
+            # everything else in the engine
+            links_raw = CF.with_canonical_urlfp(self.expand_fn(scheduled))
+        else:
+            links_raw = scheduled.select("url_hash", "priority").mapInPandas(
                 _expand_ident,
                 schema=(
                     "url string, canonical_url string, domain_hash long, "
@@ -365,7 +381,8 @@ class CrawlFrontier:
                     "url_valid boolean"
                 ),
             )
-            .filter("url_valid")
+        links = (
+            links_raw.filter("url_valid")
             .withColumn("discovered_round", F.lit(round_no))
             .select(*FRONTIER_COLS)
         )

@@ -271,3 +271,52 @@ def test_cuckoo_filter_kind_trace_equals_bloom(spark, tmp_path, crawl):
     trace_a, seen_a = _spark_trace(spark, ckpt_a, ROUNDS)
     assert trace_k == trace_a
     assert seen_k == seen_a
+
+
+def test_frontier_with_real_link_extraction(spark, tmp_path):
+    """expand_fn plugs a REAL render→extract→resolve pipeline into the
+    crawl loop: each scheduled URL 'fetches' a synthesized HTML page
+    whose hrefs are real anchors, links.page_links extracts + resolves
+    them, and the frontier grows with their canonical identities."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from ccspark import links
+
+    def expand(scheduled):
+        def _render(url):
+            out = []
+            for u in url:
+                # two deterministic out-links per fetched page
+                h = (
+                    f'<html><a href="child/1">a</a>'
+                    f"<a href='child/2?x=1&amp;y=2'>b</a></html>"
+                )
+                out.append(h)
+            return pd.Series(out, index=url.index)
+
+        render = pandas_udf(_render, "string")
+        pages = scheduled.select("url", render(F.col("url")).alias("html"))
+        return links.page_links(pages, "url", "html").select(
+            "link", F.lit(0.4).alias("priority")
+        ).withColumnRenamed("link", "url")
+
+    cfg = FrontierConfig(
+        num_partitions=4,
+        universe_n=UNIVERSE,
+        n_hosts=N_HOSTS,
+        seed=SEED,
+        default_budget=BUDGET,
+        n_salts=4,
+    )
+    fr = CrawlFrontier(spark, str(tmp_path / "real"), cfg, expand_fn=expand)
+    seeds = synth.gen_seeds(spark, 500, N_HOSTS, SEED)
+    metrics = fr.run(seeds, 2)
+    assert all(m["scheduled"] > 0 for m in metrics)
+    # round-2 scheduled must include child links of round-1 fetches
+    r2 = fr.read_trace(2).filter("round = 2").toPandas()
+    assert (r2["canonical_url"].str.contains("/child/", regex=False)).any()
+    # and the children resolved RELATIVE to their parent pages
+    child = r2[r2["canonical_url"].str.contains("/child/2", regex=False)].iloc[0]
+    assert child["canonical_url"].endswith("child/2?x=1&y=2")
