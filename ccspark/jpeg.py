@@ -190,7 +190,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """JPEG bytes -> (width, height, channels, uint8 H×W×C array).
 
     Baseline sequential (SOF0) only; grayscale (1 comp) and YCbCr
-    (3 comps, any sampling factors)."""
+    (3 comps, any sampling factors).  Malformed/truncated streams raise
+    ValueError (never library-internal exception types — crawl inputs
+    are hostile)."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (IndexError, KeyError, StopIteration, struct.error) as ex:
+        raise ValueError(f"malformed JPEG: {type(ex).__name__}") from ex
+
+
+def _decode_jpeg_impl(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2

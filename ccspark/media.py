@@ -224,10 +224,19 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             idat.append(body)
         elif tag == b"IEND":
             break
+    if width is None:
+        raise ValueError("truncated PNG (no IHDR)")
+    if color_type not in (0, 2, 3, 4, 6):
+        raise ValueError(f"unsupported PNG color type {color_type}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as ex:
+        raise ValueError(f"corrupt PNG IDAT: {ex}") from ex
     stride = width * channels
     bpp = channels  # bytes per pixel at depth 8
+    if len(raw) < height * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
     # split scanlines into (ftypes, filtered-line matrix) once
     rawa = np.frombuffer(raw, dtype=np.uint8, count=height * (1 + stride)).reshape(
         height, 1 + stride

@@ -104,14 +104,19 @@ def write_warc_bytes(records) -> bytes:
 
 
 def _split_members(data: bytes):
-    """Yield (offset, member bytes) per gzip member (WARC gzip layout)."""
+    """Yield (offset, member bytes) per gzip member (WARC gzip layout).
+    Best-effort: a corrupt member ends the scan with what decoded so
+    far (crawl-grade tolerance, like GZIPUtils.unzipBestEffort)."""
     import zlib
 
     pos = 0
     n = len(data)
     while pos < n:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out = d.decompress(data[pos:])
+        try:
+            out = d.decompress(data[pos:])
+        except zlib.error:
+            return
         rest = d.unused_data
         consumed = n - pos - len(rest)
         if consumed <= 0:

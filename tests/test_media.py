@@ -322,3 +322,33 @@ def test_png_filtered_encoding_roundtrip():
         _, _, _, out = media.decode_png(media.encode_png(img, row_filters=fts))
         want = img[:, :, None] if ch == 1 else img
         assert (out == want).all()
+
+
+def test_decoders_raise_valueerror_on_garbage():
+    """Crawl inputs are hostile: every decoder must fail with ValueError
+    (or decode best-effort), never library-internal exception types."""
+    import random
+
+    from ccspark import arc, jpeg, warc
+
+    rnd = random.Random(5)
+    magics = {
+        "jpeg": [b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xc0\x00\x11\x08",
+                 b"\xff\xd8\xff\xdb", b"\xff\xd8\xff\xda"],
+        "png": [b"\x89PNG\r\n\x1a\n"],
+    }
+    for _ in range(150):
+        junk = bytes(rnd.randrange(256) for _ in range(rnd.randrange(4, 250)))
+        for m in magics["jpeg"]:
+            try:
+                jpeg.decode_jpeg(m + junk)
+            except ValueError:
+                pass
+        for m in magics["png"]:
+            try:
+                media.decode_png(m + junk)
+            except ValueError:
+                pass
+        # gzip-framed containers decode best-effort (no raise)
+        list(warc.read_warc_bytes(b"\x1f\x8b\x08\x00" + junk))
+        list(arc.read_arc_bytes(b"\x1f\x8b\x08\x00" + junk))
