@@ -40,6 +40,30 @@ from .checkpoint import Checkpoint
 
 MANIFEST_TABLE = "_manifest"
 
+_ARROW_TO_SPARK = {
+    "int32": "int",
+    "int64": "long",
+    "string": "string",
+    "binary": "binary",
+    "double": "double",
+    "float": "float",
+    "bool": "boolean",
+    "timestamp[us]": "timestamp",
+}
+
+
+def _arrow_to_spark_ddl(arrow_schema) -> str:
+    """pyarrow schema → Spark DDL string with IDENTICAL physical types,
+    so driver-built tables read back indistinguishable from
+    Spark-written rounds (int stays int, not inferred long)."""
+    cols = []
+    for f in arrow_schema:
+        t = str(f.type)
+        if t not in _ARROW_TO_SPARK:
+            raise ValueError(f"unmapped arrow type {t!r} for column {f.name!r}")
+        cols.append(f"{f.name} {_ARROW_TO_SPARK[t]}")
+    return ", ".join(cols)
+
 
 def iceberg_available(spark: SparkSession, catalog: str) -> bool:
     """True when ``catalog`` is configured AND its implementation class
@@ -90,17 +114,37 @@ class IcebergCheckpoint:
         """Idempotent per-round write: atomically replace the round's
         partition (Iceberg snapshot commit).  The partition column is
         ``_ckpt_round`` so data columns named ``round`` (the processed
-        table has one) pass through untouched."""
+        table has one) pass through untouched.  ``partition_by`` columns
+        become ADDITIONAL Iceberg partition transforms at table creation
+        (e.g. partition_id = pmod(domain_hash, P), the engine's bucket
+        layout) — with spark.sql.sources.v2.bucketing.enabled, joins and
+        groupings keyed on them become storage-partitioned (no Exchange
+        on this table's side), the catalog analog of seenstore's
+        partition-pruned reads."""
         t = self._qualified(name)
         out = df.withColumn("_ckpt_round", F.lit(round_no).cast("int"))
         if not self.spark.catalog.tableExists(t):
-            out.writeTo(t).partitionedBy(F.col("_ckpt_round")).create()
+            cols = [F.col("_ckpt_round")] + [F.col(c) for c in (partition_by or [])]
+            out.writeTo(t).partitionedBy(*cols).create()
         else:
-            out.writeTo(t).overwritePartitions()
+            # exact round replacement (not overwritePartitions): a re-run
+            # whose data happens to miss some partition_id must still
+            # drop that partition's stale rows for this round
+            out.writeTo(t).overwrite(F.col("_ckpt_round") == F.lit(int(round_no)))
         return t
 
-    def write_pdf(self, pdf: pd.DataFrame, name: str, round_no: int, arrow_schema=None) -> str:
-        df = self.spark.createDataFrame(pdf)
+    def write_pdf(self, pdf: pd.DataFrame, name: str, round_no: int, arrow_schema=None, partition_col=None) -> str:
+        """``arrow_schema`` pins the physical column types (createDataFrame
+        alone would infer long for int32 columns like partition_id /
+        hash_count, breaking type parity with Spark-written rounds —
+        the cogroup/union key-type invariant filter_arrow_schema
+        documents).  ``partition_col`` is a layout hint for the parquet
+        backend; Iceberg tables are partitioned by _ckpt_round and keep
+        the column as data, so it needs no handling here."""
+        if arrow_schema is not None:
+            df = self.spark.createDataFrame(pdf, schema=_arrow_to_spark_ddl(arrow_schema))
+        else:
+            df = self.spark.createDataFrame(pdf)
         return self.write(df, name, round_no)
 
     def copy_round(self, name: str, from_round: int, to_round: int) -> str:

@@ -23,11 +23,26 @@ reference-oracle replay comparable (same seeds + budgets → same trace,
 BASELINE.json north_star).
 
 Scale notes: per-host ranks come from the two-stage salted window
-(politeness.rank_per_host) — no global window; the seen-set pre-filter
-is partition-local (seenset.probe_filters cogroup) — no broadcast of
-filter state; link expansion is a mapInPandas over scheduled rows — no
-driver participation.  Priorities decay per hop (0.8) so the frontier
-drains.
+(politeness.rank_per_host) — no global window; link expansion is a
+mapInPandas over scheduled rows — no driver participation.  Priorities
+decay per hop (0.8) so the frontier drains.
+
+STORAGE-PARTITIONED STATE (the 100×-scale design): every state table
+(frontier, processed, filters) is written Hive-partitioned by
+``partition_id = pmod(domain_hash, P)`` — one file per partition per
+round — and the novelty gate, the links gate, and the per-round filter
+update all read their state WORKER-SIDE with partition pruning
+(seenstore.py).  The crawl history and the filter blobs therefore
+never enter a Spark Exchange: per round the only shuffles are
+delta-sized (politeness windows, the leftover anti-join, the
+next-frontier identity dedup, one repartition that keeps the
+one-file-per-partition layout).  The r3 design re-shuffled the full
+seen set into the gate every round (cogroup state side + the links
+anti-join) — at 10^10 URLs that one history-sized shuffle per round
+dominates everything; here it is gone, and the per-round seen-set I/O
+is O(delta) thanks to seenstore's incremental per-worker cache.
+Reference analog: shard-stable part files keyed by shard id
+(Query.java:1080-1082).
 """
 
 from __future__ import annotations
@@ -52,6 +67,42 @@ FRONTIER_COLS = [
 ]
 
 LINK_DECAY = 0.8
+
+FRONTIER_COLS_PID = FRONTIER_COLS + ["partition_id"]
+_FRONTIER_PID_SCHEMA = (
+    "url string, canonical_url string, domain_hash long, url_hash long, "
+    "root_domain_hash long, priority double, discovered_round int, partition_id int"
+)
+
+
+def _pid_col(num_partitions: int):
+    return F.pmod(F.col("domain_hash"), F.lit(num_partitions)).cast("int")
+
+
+def dedup_by_identity(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Max-priority identity dedup that LANDS partition-clustered: one
+    Exchange by partition_id (instead of one by (domain_hash,
+    url_hash)), then a partition-local pandas groupby — every
+    (domain_hash, url_hash) lives wholly inside its pmod partition, so
+    the local dedup is globally exact.  The output feeds a
+    partitionBy("partition_id") write directly: one file per partition
+    per round, which is what makes the worker-side storage gate
+    (seenstore) partition-prunable.  String mins match Spark's binary
+    ordering because UTF-8 byte order equals code-point order."""
+    with_pid = df.select(*FRONTIER_COLS).withColumn("partition_id", _pid_col(num_partitions))
+
+    def _dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(["domain_hash", "url_hash"], sort=False, as_index=False).agg(
+            url=("url", "min"),
+            canonical_url=("canonical_url", "min"),
+            root_domain_hash=("root_domain_hash", "min"),
+            priority=("priority", "max"),
+            discovered_round=("discovered_round", "min"),
+        )
+        g["partition_id"] = pdf["partition_id"].iloc[0]
+        return g[FRONTIER_COLS_PID]
+
+    return with_pid.groupBy("partition_id").applyInPandas(_dedup, schema=_FRONTIER_PID_SCHEMA)
 
 
 def _lineage_arrow_schema():
@@ -85,6 +136,7 @@ class FrontierConfig:
         buckets_per_element: int = 10,
         capacity_per_partition: int | None = None,
         max_frontier_per_host: int | None = None,
+        cluster_link_gate: bool | None = None,
     ):
         self.num_partitions = num_partitions
         self.universe_n = universe_n
@@ -100,6 +152,11 @@ class FrontierConfig:
         # down to this size each round (None = unbounded); evicted URLs
         # stay rediscoverable through future links
         self.max_frontier_per_host = max_frontier_per_host
+        # discovered links arrive unclustered; at huge filter state each
+        # gate task should touch ~1 partition's state, so cluster them
+        # (one delta-sized Exchange) first.  None = auto: cluster when
+        # the filter state is past broadcast size (a big crawl).
+        self.cluster_link_gate = cluster_link_gate
         # fixed bloom capacity → per-round delta build + bitwise-OR merge
         self.capacity_per_partition = capacity_per_partition or max(
             4 * universe_n // num_partitions, 1024
@@ -156,19 +213,14 @@ class CrawlFrontier:
 
     def _identify(self, raw: DataFrame, round_no: int) -> DataFrame:
         """raw(url, priority) → frontier rows (canonical identity, valid
-        only, max-priority dedup)."""
-        df = CF.with_canonical_urlfp(raw).filter("url_valid")
-        return (
-            df.groupBy("domain_hash", "url_hash")
-            .agg(
-                F.min("url").alias("url"),
-                F.min("canonical_url").alias("canonical_url"),
-                F.min("root_domain_hash").alias("root_domain_hash"),
-                F.max("priority").alias("priority"),
-                F.lit(round_no).alias("discovered_round"),
-            )
-            .select(*FRONTIER_COLS)
+        only, max-priority dedup), partition-clustered for the
+        one-file-per-partition checkpoint layout."""
+        df = (
+            CF.with_canonical_urlfp(raw)
+            .filter("url_valid")
+            .withColumn("discovered_round", F.lit(round_no))
         )
+        return dedup_by_identity(df, self.cfg.num_partitions)
 
     def _robots(self) -> DataFrame:
         # memoized: the rules table is immutable across rounds — rebuilding
@@ -207,7 +259,7 @@ class CrawlFrontier:
 
         obs = Observation("bootstrap_n")
         frontier = self._identify(seeds, 0).observe(obs, F.count(F.lit(1)).alias("n"))
-        self.ckpt.write(frontier, "frontier", 0)
+        self.ckpt.write(frontier, "frontier", 0, partition_by=["partition_id"])
         self.ckpt.write_pdf(
             seenset.empty_filters_pdf(
                 self.cfg.num_partitions,
@@ -220,6 +272,7 @@ class CrawlFrontier:
             "filters",
             0,
             arrow_schema=seenset.filter_arrow_schema(),
+            partition_col="partition_id",
         )
         self.ckpt.commit_round(
             0,
@@ -254,29 +307,41 @@ class CrawlFrontier:
 
         spark, cfg, ckpt = self.spark, self.cfg, self.ckpt
         prev = round_no - 1
+        # parquet-emulation backends expose a filesystem root → the
+        # storage-partitioned gates (zero Exchange on any state table);
+        # catalog backends (Iceberg) take the Spark-side gates, where
+        # Iceberg's own storage-partitioned join plays seenstore's role.
+        root = getattr(ckpt, "root", None)
 
-        frontier = ckpt.read(spark, "frontier", prev)
-        seen = self.read_seen(prev)  # None before the first completed round
-        filters = ckpt.read(spark, "filters", prev)
-
+        # empty-frontier check BEFORE the read: a drained frontier's
+        # partitioned write has no data files, so the scan can't infer a
+        # schema — and the manifest already carries the count anyway
         prev_manifest = ckpt.read_manifest() or {}
-        n_candidates = (
-            int(prev_manifest["frontier_size"])
-            if prev_manifest.get("round") == prev and "frontier_size" in prev_manifest
-            else frontier.count()
-        )
+        if prev_manifest.get("round") == prev and "frontier_size" in prev_manifest:
+            n_candidates = int(prev_manifest["frontier_size"])
+        else:
+            n_candidates = ckpt.read(spark, "frontier", prev).count()
         if n_candidates == 0:
             # nothing to do: carry frontier+filters forward driver-side
             # (byte-identical copies — no Spark jobs at all)
             ckpt.copy_round("frontier", prev, round_no)
             ckpt.copy_round("filters", prev, round_no)
             ckpt.commit_round(round_no, {"empty": "true"}, extra={"frontier_size": 0})
-            return {"round": round_no, "candidates": 0, "scheduled": 0, "new_links": 0}
+            return {
+                "round": round_no,
+                "candidates": 0,
+                "novel": 0,
+                "scheduled": 0,
+                "frontier_size": 0,
+            }
+        frontier = ckpt.read(spark, "frontier", prev)
 
-        # novelty gate: bloom/cuckoo pre-screen + exact confirm.  With a
-        # fixed-capacity bloom the total filter state size is known
-        # up-front, so small/mid crawls take the shuffle-free broadcast
-        # probe and only 10^10-scale state cogroups.
+        # novelty gate: bloom/cuckoo pre-screen + exact confirm.  The
+        # frontier table is stored partition-clustered, so the storage
+        # gate's tasks each touch ~1 partition's filter blob and (for
+        # bloom false positives only) that partition's seen arrays —
+        # no Exchange anywhere.  Fixed-capacity bloom state size is
+        # known up-front for the fallback's broadcast-vs-cogroup choice.
         bloom_bytes = (
             cfg.num_partitions
             * seenset.bitset_size(cfg.capacity_per_partition, cfg.buckets_per_element)
@@ -285,13 +350,17 @@ class CrawlFrontier:
             else None
         )
         obs_novel = Observation(f"novel_{round_no}")
-        novel = (
-            seenset.filter_new(
-                frontier, seen, filters, cfg.num_partitions, broadcast_bytes=bloom_bytes
+        if root is not None:
+            gated = seenset.gate_new_storage(
+                frontier.select(*FRONTIER_COLS), root, prev, prev, cfg.num_partitions
             )
-            .observe(obs_novel, F.count(F.lit(1)).alias("n"))
-            .cache()
-        )
+        else:
+            seen = self.read_seen(prev)  # None before the first completed round
+            filters = ckpt.read(spark, "filters", prev)
+            gated = seenset.filter_new(
+                frontier, seen, filters, cfg.num_partitions, broadcast_bytes=bloom_bytes
+            ).select(*FRONTIER_COLS)
+        novel = gated.observe(obs_novel, F.count(F.lit(1)).alias("n")).cache()
 
         # politeness: robots + budgets + salted per-host rank, ONE linear
         # plan producing the round's processed table = scheduled rows
@@ -319,7 +388,8 @@ class CrawlFrontier:
         obs_proc = Observation(f"proc_{round_no}")
         processed = (
             proc_df.withColumn("round", F.lit(round_no))
-            .select(*sched_cols)
+            .withColumn("partition_id", _pid_col(cfg.num_partitions))
+            .select(*sched_cols, "partition_id")
             .observe(
                 obs_proc,
                 F.count(F.lit(1)).alias("n"),
@@ -327,14 +397,56 @@ class CrawlFrontier:
             )
             .cache()
         )
-        ckpt.write(processed, "processed", round_no)  # action 1 (fills caches)
+        # one delta-sized Exchange reclusters the window output by
+        # partition_id so the Hive-partitioned write lands one file per
+        # partition per round — the layout every storage-gate read prunes on
+        ckpt.write(
+            processed.repartition(cfg.num_partitions, "partition_id"),
+            "processed",
+            round_no,
+            partition_by=["partition_id"],
+        )  # action 1 (fills caches)
         _mark("processed_write")
 
         scheduled = processed.filter(F.col("host_rank").isNotNull())
         seen_delta = processed.select("domain_hash", "url_hash")
-        seen_new = (
-            seen.unionByName(seen_delta) if seen is not None else seen_delta
-        )
+
+        # filters next (before the frontier write), so the links gate can
+        # probe the JUST-AUGMENTED blobs: one seen-scan per round total.
+        # Storage path: the driving frame is range(P) partition ids; each
+        # task reads its own previous blob + this round's just-written
+        # seen delta file straight from their partition directories and
+        # ORs (bloom) / rebuilds (cuckoo) — the filter state and the
+        # crawl history never enter an Exchange.
+        if root is not None:
+            filters_new = seenset.update_filters_storage(
+                spark,
+                root,
+                round_no,
+                cfg.num_partitions,
+                kind=cfg.filter_kind,
+                buckets_per_element=cfg.buckets_per_element,
+                capacity=cfg.capacity_per_partition if cfg.filter_kind == "bloom" else None,
+            )
+        elif cfg.filter_kind == "bloom":
+            # fused delta-build + OR-merge: one cogrouped pass instead of
+            # build_filters + merge_filters (two shuffles)
+            filters_new = seenset.augment_filters(
+                filters,
+                seen_delta,
+                cfg.num_partitions,
+                cfg.buckets_per_element,
+                capacity=cfg.capacity_per_partition,
+            )
+        else:
+            seen_new = seen.unionByName(seen_delta) if seen is not None else seen_delta
+            filters_new = seenset.build_filters(
+                seen_new, cfg.num_partitions, "cuckoo", cfg.buckets_per_element
+            )
+        ckpt.write(
+            filters_new, "filters", round_no, partition_by=["partition_id"]
+        )  # action 2
+        _mark("filters_write")
 
         # link discovery: either the pluggable real pipeline (expand_fn →
         # raw urls → the fused identity kernel) or the deterministic
@@ -387,21 +499,40 @@ class CrawlFrontier:
             .select(*FRONTIER_COLS)
         )
 
-        # next frontier: unscheduled novel + unseen links, max-priority merge
-        leftover = novel.join(seen_delta, ["domain_hash", "url_hash"], "left_anti").select(*FRONTIER_COLS)
-        links_unseen = links.join(seen_new, ["domain_hash", "url_hash"], "left_anti")
-        obs_frontier = Observation(f"frontier_{round_no}")
-        next_frontier = (
-            leftover.unionByName(links_unseen)
-            .groupBy("domain_hash", "url_hash")
-            .agg(
-                F.min("url").alias("url"),
-                F.min("canonical_url").alias("canonical_url"),
-                F.min("root_domain_hash").alias("root_domain_hash"),
-                F.max("priority").alias("priority"),
-                F.min("discovered_round").alias("discovered_round"),
+        # links gate: probe the just-augmented filters (actions 1+2 wrote
+        # this round's seen delta and blobs), exact-confirm only bloom
+        # maybe-seens — the r3 shape anti-joined links against the FULL
+        # seen history every round, the other half of the history-sized
+        # shuffle.  Links arrive unclustered (a fetch task's out-links hash
+        # everywhere); at huge filter state each gate task should touch ~1
+        # partition's blob, so spend one delta-sized Exchange clustering
+        # them first.  At broadcastable state (small/mid crawl) every task
+        # can afford all blobs — skip the Exchange.
+        if root is not None:
+            cluster = (
+                cfg.cluster_link_gate
+                if cfg.cluster_link_gate is not None
+                else (bloom_bytes is None or bloom_bytes > (128 << 20))
             )
-            .select(*FRONTIER_COLS)
+            if cluster:
+                links = links.repartition(
+                    cfg.num_partitions, _pid_col(cfg.num_partitions)
+                )
+            links_new = seenset.gate_new_storage(
+                links, root, round_no, round_no, cfg.num_partitions
+            )
+        else:
+            seen_new = seen.unionByName(seen_delta) if seen is not None else seen_delta
+            links_new = links.join(seen_new, ["domain_hash", "url_hash"], "left_anti")
+
+        # next frontier: unscheduled novel + unseen links, max-priority
+        # identity merge that LANDS partition-clustered (dedup_by_identity:
+        # one Exchange by partition_id instead of (domain_hash, url_hash),
+        # feeding the partitionBy write one file per partition)
+        leftover = novel.join(seen_delta, ["domain_hash", "url_hash"], "left_anti").select(*FRONTIER_COLS)
+        obs_frontier = Observation(f"frontier_{round_no}")
+        next_frontier = dedup_by_identity(
+            leftover.unionByName(links_new.select(*FRONTIER_COLS)), cfg.num_partitions
         )
         if cfg.max_frontier_per_host is not None:
             # priority-evict hot hosts' queues (domain_hash is the host
@@ -409,36 +540,14 @@ class CrawlFrontier:
             # so the cap is partition-count invariant like everything else
             next_frontier = politeness.topk_per_key(
                 next_frontier, "domain_hash", cfg.max_frontier_per_host, cfg.n_salts
-            ).select(*FRONTIER_COLS)
+            ).select(*FRONTIER_COLS_PID).repartition(cfg.num_partitions, "partition_id")
         next_frontier = next_frontier.observe(
             obs_frontier, F.count(F.lit(1)).alias("n")
         )
-        # NOTE: no repartition after the groupBy — the agg already
-        # distributed rows by (domain_hash, url_hash) and every consumer
-        # (probe, exact confirm, lineage) re-keys itself; a second full
-        # shuffle bought nothing.
-        ckpt.write(next_frontier, "frontier", round_no)  # action 2
+        ckpt.write(
+            next_frontier, "frontier", round_no, partition_by=["partition_id"]
+        )  # action 3
         _mark("frontier_write")
-
-        # filters: bloom → incremental (delta build over this round's new
-        # identities, then bitwise-OR with the previous filter — never a
-        # full-seen rescan); cuckoo → rebuild (no cheap union).
-        if cfg.filter_kind == "bloom":
-            # fused delta-build + OR-merge: one cogrouped pass instead of
-            # build_filters + merge_filters (two shuffles)
-            filters_new = seenset.augment_filters(
-                filters,
-                seen_delta,
-                cfg.num_partitions,
-                cfg.buckets_per_element,
-                capacity=cfg.capacity_per_partition,
-            )
-        else:
-            filters_new = seenset.build_filters(
-                seen_new, cfg.num_partitions, "cuckoo", cfg.buckets_per_element
-            )
-        ckpt.write(filters_new, "filters", round_no)  # action 3
-        _mark("filters_write")
 
         # lineage: per-partition commit record — ONE tagged-union job over
         # the cached frames; the ~num_partitions result rows are collected

@@ -154,6 +154,11 @@ def cuckoo_build(keys: np.ndarray, load_factor: float = 0.84) -> tuple[int, int,
         if ok:
             break
         nb <<= 1
+    else:
+        # a lossy table would be a silent false negative in the seen set
+        raise RuntimeError(
+            f"cuckoo_build: {len(keys)} keys still overflow after 16 doublings (nb={nb})"
+        )
     return _CK_SLOTS, nb, table.tobytes()
 
 
@@ -502,6 +507,126 @@ def merge_filters(old: DataFrame, delta: DataFrame) -> DataFrame:
         .groupBy("partition_id")
         .applyInPandas(lambda pdf: _merge(pdf), schema=FILTER_SCHEMA)
     )
+
+
+def gate_new_storage(
+    candidates: DataFrame,
+    root: str,
+    filters_round: int,
+    seen_upto: int,
+    num_partitions: int,
+) -> DataFrame:
+    """Shuffle-free novelty gate over STORAGE-partitioned state: probe +
+    exact confirm in one map stage, with zero Exchange anywhere — not
+    on the candidates, not on the filters, not on the seen history.
+
+    Both state tables are written Hive-partitioned by
+    ``pmod(domain_hash, P)`` (frontier.py), so for each batch the
+    worker loads exactly the touched partitions' filter blob
+    (seenstore.filter_blob) and — only when the bloom flags suspects —
+    that partition's seen identities (seenstore.seen_arrays, an
+    incremental per-worker cache that reads one delta file per round).
+    This replaces the r3 cogroup gate, whose state side re-shuffled the
+    FULL crawl history every round (the one remaining 100×-scale
+    shuffle).  Semantics are exactly ``candidates ∖ seen``: the
+    probabilistic filter only routes around the exact confirm, and
+    bloom/cuckoo filters here have no false negatives.
+
+    Efficiency wants candidates physically clustered by partition_id
+    (the frontier table is written that way → a scan task touches ~1
+    partition); correctness holds for any distribution.  For an
+    UNclustered input at huge state (discovered links at 10^10),
+    repartition by pmod(domain_hash, P) first — one delta-sized
+    Exchange — so each task still touches ~1 partition
+    (frontier.py cluster_link_gate)."""
+    schema = candidates.schema
+
+    def _gate(batches):
+        from . import seenstore
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            dom = pdf["domain_hash"].to_numpy(dtype=np.int64)
+            keys = pdf["url_hash"].to_numpy(dtype=np.int64)
+            pids = np.mod(dom, num_partitions)
+            keep = np.ones(len(pdf), dtype=bool)
+            for pid in np.unique(pids):
+                sel = np.flatnonzero(pids == pid)
+                blob = seenstore.filter_blob(root, int(pid), filters_round)
+                if blob is None:
+                    continue  # no filter state for this partition: all new
+                kind, k, m, _nk, bits = blob
+                if kind == "bloom":
+                    maybe = bloom_probe(keys[sel], k, m, bits)
+                else:
+                    maybe = cuckoo_probe(keys[sel], k, m, bits)
+                if not maybe.any():
+                    continue
+                sus = sel[maybe]
+                u_s, d_s = seenstore.seen_arrays(root, int(pid), seen_upto)
+                if len(u_s) == 0:
+                    continue  # filter false positives only (round 1)
+                dup = seenstore.contains(u_s, d_s, keys[sus], dom[sus])
+                keep[sus[dup]] = False
+            yield pdf if keep.all() else pdf[keep]
+
+    return candidates.mapInPandas(_gate, schema=schema)
+
+
+def update_filters_storage(
+    spark,
+    root: str,
+    round_no: int,
+    num_partitions: int,
+    kind: str = "bloom",
+    buckets_per_element: int = 10,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Per-round filter update with the state kept OUT of the shuffle:
+    the driving frame is just ``range(P)`` partition ids; each task
+    loads its previous blob and this round's seen delta straight from
+    their partition directories (seenstore) and emits the new blob.
+
+    bloom → incremental OR of the delta keys into the previous bitset;
+    cuckoo → rebuild over the partition's full seen set (cuckoo tables
+    are not OR-mergeable), still without any Exchange — the history is
+    read from the same per-worker incremental cache the gate uses."""
+    assert kind in ("bloom", "cuckoo")
+    skeleton = spark.range(num_partitions).select(F.col("id").cast("int").alias("partition_id"))
+    k_default = compute_best_k(buckets_per_element)
+    m_default = bitset_size(capacity, buckets_per_element) if capacity else None
+
+    def _update(pdf: pd.DataFrame) -> pd.DataFrame:
+        from . import seenstore
+
+        pid = int(pdf["partition_id"].iloc[0])
+        if kind == "bloom":
+            prev = seenstore.filter_blob(root, pid, round_no - 1)
+            if prev is not None:
+                _kind, k, m, n_prev, bits = prev
+                words = np.frombuffer(bits, dtype=np.uint64).copy()
+            else:
+                assert m_default is not None, "first bloom update needs capacity"
+                k, m, n_prev = k_default, m_default, 0
+                words = np.zeros(m // 64, dtype=np.uint64)
+            delta_u, _ = seenstore.round_pairs(root, pid, round_no)
+            keys = np.unique(delta_u)
+            if len(keys):
+                idx = hashing.bloom_buckets_long(keys, k, m).ravel()
+                np.bitwise_or.at(words, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+            row = (pid, "bloom", k, m, n_prev + len(keys), words.tobytes())
+        else:
+            u_s, _ = seenstore.seen_arrays(root, pid, round_no)
+            k, m, bits = cuckoo_build(np.unique(u_s))
+            row = (pid, "cuckoo", k, m, len(u_s), bits)
+        return pd.DataFrame(
+            [row],
+            columns=["partition_id", "kind", "hash_count", "num_buckets", "n_keys", "bits"],
+        )
+
+    return skeleton.groupBy("partition_id").applyInPandas(_update, schema=FILTER_SCHEMA)
 
 
 def exact_new_urls(candidates: DataFrame, seen: DataFrame) -> DataFrame:
