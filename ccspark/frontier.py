@@ -69,10 +69,6 @@ FRONTIER_COLS = [
 LINK_DECAY = 0.8
 
 FRONTIER_COLS_PID = FRONTIER_COLS + ["partition_id"]
-_FRONTIER_PID_SCHEMA = (
-    "url string, canonical_url string, domain_hash long, url_hash long, "
-    "root_domain_hash long, priority double, discovered_round int, partition_id int"
-)
 
 
 def _pid_col(num_partitions: int):
@@ -80,29 +76,31 @@ def _pid_col(num_partitions: int):
 
 
 def dedup_by_identity(df: DataFrame, num_partitions: int) -> DataFrame:
-    """Max-priority identity dedup that LANDS partition-clustered: one
-    Exchange by partition_id (instead of one by (domain_hash,
-    url_hash)), then a partition-local pandas groupby — every
-    (domain_hash, url_hash) lives wholly inside its pmod partition, so
-    the local dedup is globally exact.  The output feeds a
-    partitionBy("partition_id") write directly: one file per partition
-    per round, which is what makes the worker-side storage gate
-    (seenstore) partition-prunable.  String mins match Spark's binary
-    ordering because UTF-8 byte order equals code-point order."""
-    with_pid = df.select(*FRONTIER_COLS).withColumn("partition_id", _pid_col(num_partitions))
-
-    def _dedup(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = pdf.groupby(["domain_hash", "url_hash"], sort=False, as_index=False).agg(
-            url=("url", "min"),
-            canonical_url=("canonical_url", "min"),
-            root_domain_hash=("root_domain_hash", "min"),
-            priority=("priority", "max"),
-            discovered_round=("discovered_round", "min"),
+    """Max-priority identity dedup that LANDS partition-clustered, fully
+    JVM-side, with exactly ONE Exchange: repartition by partition_id
+    (instead of by (domain_hash, url_hash)), then groupBy
+    (partition_id, domain_hash, url_hash) — HashPartitioning on
+    partition_id is a subset of the group keys, so Catalyst's
+    ClusteredDistribution is already satisfied and the aggregate adds NO
+    second Exchange (partition_id = pmod(domain_hash, P) is functionally
+    dependent on domain_hash, so the extra key never changes groups).
+    The output feeds a partitionBy("partition_id") write directly: one
+    file per partition per round, which is what makes the worker-side
+    storage gate (seenstore) partition-prunable."""
+    return (
+        df.select(*FRONTIER_COLS)
+        .withColumn("partition_id", _pid_col(num_partitions))
+        .repartition(num_partitions, "partition_id")
+        .groupBy("partition_id", "domain_hash", "url_hash")
+        .agg(
+            F.min("url").alias("url"),
+            F.min("canonical_url").alias("canonical_url"),
+            F.min("root_domain_hash").alias("root_domain_hash"),
+            F.max("priority").alias("priority"),
+            F.min("discovered_round").alias("discovered_round"),
         )
-        g["partition_id"] = pdf["partition_id"].iloc[0]
-        return g[FRONTIER_COLS_PID]
-
-    return with_pid.groupBy("partition_id").applyInPandas(_dedup, schema=_FRONTIER_PID_SCHEMA)
+        .select(*FRONTIER_COLS_PID)
+    )
 
 
 def _lineage_arrow_schema():

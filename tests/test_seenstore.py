@@ -1,0 +1,158 @@
+"""Storage-partitioned seen-set machinery: gate_new_storage /
+update_filters_storage semantics over Hive-partitioned state dirs, and
+seenstore's incremental cache (signature invalidation on overwrite)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ccspark import seenset, seenstore
+from ccspark.checkpoint import Checkpoint
+
+P = 4
+CAP = 256
+
+
+def _identity_pdf(ids):
+    """Deterministic (url, identity) rows; ids drive both hashes."""
+    ids = np.asarray(ids, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "url": [f"http://h{i % 7}.com/p{i}" for i in ids],
+            "domain_hash": (ids * 1_000_003 + 17),
+            "url_hash": (ids * 2_654_435_761 + 3),
+        }
+    )
+
+
+def _write_round(spark, ckpt, pdf, round_no):
+    df = spark.createDataFrame(pdf).withColumn(
+        "partition_id", F.pmod(F.col("domain_hash"), F.lit(P)).cast("int")
+    )
+    ckpt.write(
+        df.repartition(P, "partition_id"), "processed", round_no, partition_by=["partition_id"]
+    )
+
+
+@pytest.fixture()
+def state(spark, tmp_path):
+    """3 rounds of processed identities + bloom filters updated per round."""
+    seenstore.clear_caches()
+    ckpt = Checkpoint(str(tmp_path))
+    ckpt.write_pdf(
+        seenset.empty_filters_pdf(P, "bloom", 10, capacity=CAP),
+        "filters",
+        0,
+        arrow_schema=seenset.filter_arrow_schema(),
+        partition_col="partition_id",
+    )
+    rounds = {1: range(0, 50), 2: range(50, 90), 3: range(90, 120)}
+    for r, ids in rounds.items():
+        _write_round(spark, ckpt, _identity_pdf(ids), r)
+        filt = seenset.update_filters_storage(
+            spark, str(tmp_path), r, P, kind="bloom", buckets_per_element=10, capacity=CAP
+        )
+        ckpt.write(filt, "filters", r, partition_by=["partition_id"])
+    return str(tmp_path)
+
+
+def test_gate_matches_exact_set_difference(spark, state):
+    seen = _identity_pdf(range(0, 120))
+    cand = _identity_pdf(range(100, 160))  # 20 seen, 40 new
+    cdf = spark.createDataFrame(cand)
+    got = seenset.gate_new_storage(cdf, state, 3, 3, P).toPandas()
+    seen_keys = set(zip(seen["domain_hash"], seen["url_hash"]))
+    exp = {
+        (d, u) for d, u in zip(cand["domain_hash"], cand["url_hash"])
+    } - seen_keys
+    assert set(zip(got["domain_hash"], got["url_hash"])) == exp
+    assert len(got) == 40
+
+
+def test_gate_at_earlier_round_sees_less_history(spark, state):
+    cand = _identity_pdf(range(60, 100))  # rounds 2/3 territory
+    cdf = spark.createDataFrame(cand)
+    # at round horizon 1, only ids 0..49 are seen → everything here is new
+    got1 = seenset.gate_new_storage(cdf, state, 1, 1, P).toPandas()
+    assert len(got1) == 40
+    # at horizon 2, ids 60..89 are seen
+    got2 = seenset.gate_new_storage(cdf, state, 2, 2, P).toPandas()
+    assert len(got2) == 10
+
+
+def test_update_filters_storage_equals_full_rebuild(spark, state):
+    """OR of per-round delta blooms == one bloom built over the union
+    (bit-identical, fixed capacity)."""
+    incremental = {
+        r["partition_id"]: r["bits"]
+        for r in Checkpoint(state).read(spark, "filters", 3).collect()
+    }
+    full = seenset.build_filters(
+        spark.createDataFrame(_identity_pdf(range(0, 120))).withColumn(
+            "partition_id", F.pmod(F.col("domain_hash"), F.lit(P)).cast("int")
+        ),
+        P,
+        "bloom",
+        10,
+        capacity=CAP,
+    ).collect()
+    assert len(full) == len(incremental)
+    for row in full:
+        assert bytes(row["bits"]) == bytes(incremental[row["partition_id"]])
+
+
+def test_cache_invalidation_on_round_overwrite(spark, state):
+    cand = _identity_pdf(range(90, 130))
+    cdf = spark.createDataFrame(cand)
+    before = seenset.gate_new_storage(cdf, state, 3, 3, P).toPandas()
+    assert len(before) == 10  # 90..119 seen
+    # deterministic re-run rewrote round 3 with a DIFFERENT id set
+    ckpt = Checkpoint(state)
+    _write_round(spark, ckpt, _identity_pdf(range(200, 230)), 3)
+    filt = seenset.update_filters_storage(
+        spark, state, 3, P, kind="bloom", buckets_per_element=10, capacity=CAP
+    )
+    ckpt.write(filt, "filters", 3, partition_by=["partition_id"])
+    after = seenset.gate_new_storage(cdf, state, 3, 3, P).toPandas()
+    assert len(after) == 40  # 90..119 no longer in history
+
+
+def test_cuckoo_storage_update_and_gate(spark, tmp_path):
+    seenstore.clear_caches()
+    ckpt = Checkpoint(str(tmp_path))
+    ckpt.write_pdf(
+        seenset.empty_filters_pdf(P, "cuckoo", 10),
+        "filters",
+        0,
+        arrow_schema=seenset.filter_arrow_schema(),
+        partition_col="partition_id",
+    )
+    _write_round(spark, ckpt, _identity_pdf(range(0, 64)), 1)
+    filt = seenset.update_filters_storage(spark, str(tmp_path), 1, P, kind="cuckoo")
+    ckpt.write(filt, "filters", 1, partition_by=["partition_id"])
+    cand = _identity_pdf(range(32, 96))
+    got = seenset.gate_new_storage(
+        spark.createDataFrame(cand), str(tmp_path), 1, 1, P
+    ).toPandas()
+    assert len(got) == 32
+    assert set(got["url_hash"]) == set(_identity_pdf(range(64, 96))["url_hash"])
+
+
+def test_contains_handles_url_hash_collisions():
+    url = np.array([5, 5, 9], dtype=np.int64)
+    dom = np.array([1, 2, 3], dtype=np.int64)
+    order = np.argsort(url, kind="stable")
+    q_url = np.array([5, 5, 9, 9, 7], dtype=np.int64)
+    q_dom = np.array([2, 4, 3, 1, 1], dtype=np.int64)
+    got = seenstore.contains(url[order], dom[order], q_url, q_dom)
+    assert got.tolist() == [True, False, True, False, False]
+
+
+def test_round_pairs_and_missing_partition(tmp_path):
+    seenstore.clear_caches()
+    assert seenstore.filter_blob(str(tmp_path), 0, 0) is None
+    u, d = seenstore.round_pairs(str(tmp_path), 0, 1)
+    assert len(u) == 0 and len(d) == 0
