@@ -126,6 +126,7 @@ def streaming_frontier(
     default_budget: int = 10,
     n_salts: int = 8,
     checkpoint_dir: str | None = None,
+    compact_every: int = 16,
 ):
     """Micro-batch crawl scheduler: the batch politeness pipeline run per
     trigger with a PERSISTENT seen set, via foreachBatch.
@@ -133,23 +134,31 @@ def streaming_frontier(
     Each micro-batch: canonicalize+fingerprint → union the carry-over
     backlog from the previous batch → identity dedup → anti-join the
     accumulated seen table → robots + budget + salted rank →
-    scheduled + seen delta + new backlog, each written to a
-    per-batch_id partition directory.  Allowed-but-over-budget novel
+    scheduled + seen delta + new backlog.  Allowed-but-over-budget novel
     rows (host_rank > budget) are NOT lost: they land in the carry-over
     backlog and re-enter the next trigger, matching the batch frontier
     loop's leftover-returns-to-frontier semantics, so the stream's
     output equals the batch loop's over the same drops even when
     budgets bind.
 
-    Delivery is exactly-once: every write targets
-    ``<table>/batch_id=<id>`` with mode=overwrite (deterministic plan →
-    byte-identical on re-run) and a ``_batch_markers/batch-<id>``
-    commit marker lands only after all three writes; a retried batch
-    whose marker exists is skipped entirely, and a retry of a
-    half-written batch overwrites its own partial output."""
+    State goes through the same Checkpoint backends as the batch loop
+    (``out_dir`` is a filesystem path → partitioned-parquet emulation,
+    or ``iceberg:<cat>.<ns>`` → catalog tables): per-batch table rounds
+    ``<table>/round=<batch_id>`` plus ONE atomic manifest commit per
+    batch carrying the batch lineage counts.  Delivery is exactly-once:
+    a batch is skipped iff the manifest already covers it; a retry of a
+    half-written batch overwrites its own partial rounds (deterministic
+    plans → identical output).
+
+    Every ``compact_every`` batches the seen deltas are folded into one
+    full-set round and older rounds pruned, so listing cost and
+    small-file count stay bounded on a long-running stream (Iceberg
+    backends skip the prune — compaction there is native table
+    maintenance)."""
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         frontier_process_batch(
-            batch_df, batch_id, robots, out_dir, default_budget, n_salts
+            batch_df, batch_id, robots, out_dir, default_budget, n_salts,
+            compact_every=compact_every,
         )
 
     writer = candidates.writeStream.foreachBatch(_process).outputMode("update")
@@ -161,24 +170,6 @@ def streaming_frontier(
 _IDENT_COLS = ["url", "canonical_url", "priority", "domain_hash", "url_hash"]
 
 
-def _latest_carry(spark_l: SparkSession, carry_dir: str, batch_id: int) -> DataFrame | None:
-    """Backlog written by the most recent batch BEFORE this one
-    (strictly less: a retried batch must not read its own output)."""
-    import os
-    import re as _re
-
-    if not os.path.isdir(carry_dir):
-        return None
-    prev = [
-        int(m.group(1))
-        for d in os.listdir(carry_dir)
-        if (m := _re.fullmatch(r"after_batch=(\d+)", d)) and int(m.group(1)) < batch_id
-    ]
-    if not prev:
-        return None
-    return spark_l.read.parquet(os.path.join(carry_dir, f"after_batch={max(prev)}"))
-
-
 def frontier_process_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -187,51 +178,47 @@ def frontier_process_batch(
     default_budget: int = 10,
     n_salts: int = 8,
     _die_before_marker: bool = False,
+    compact_every: int = 16,
 ) -> None:
     """One micro-batch of the streaming frontier (module-level so tests
     can simulate retries and mid-batch kills directly).
     ``_die_before_marker`` is a test hook: crash after the data writes
-    but before the commit marker, as a killed executor would."""
+    but before the manifest commit, as a killed executor would.
+
+    Crash-safety of compaction: a compaction batch writes the FULL seen
+    set (prev ∪ delta) as its own seen round BEFORE the commit, and only
+    prunes older rounds AFTER the commit — a crash mid-prune leaves
+    subset-duplicate rounds behind, which is harmless (seen is a set)
+    and cleaned by the next compaction."""
     import os
-    import re as _re
+    import shutil
 
     from . import politeness
-
-    seen_dir = os.path.join(out_dir, "seen")
-    sched_dir = os.path.join(out_dir, "scheduled")
-    carry_dir = os.path.join(out_dir, "carryover")
-    marker_dir = os.path.join(out_dir, "_batch_markers")
-    marker = os.path.join(marker_dir, f"batch-{batch_id}")
-    if os.path.exists(marker):
-        return  # retried but fully committed batch → exactly-once skip
+    from .catalog import make_checkpoint
 
     spark_l = batch_df.sparkSession
+    ckpt = make_checkpoint(spark_l, out_dir)
+    last = ckpt.last_committed_round()
+    if last is not None and last >= batch_id:
+        return  # retried but fully committed batch → exactly-once skip
+
     ident = CF.with_canonical_urlfp(batch_df).filter("url_valid").select(*_IDENT_COLS)
-    carry = _latest_carry(spark_l, carry_dir, batch_id)
-    if carry is not None:
+    # backlog of the most recent COMMITTED batch (a retried batch must
+    # not read its own partial output — `last` can never be batch_id here)
+    if last is not None:
+        carry = ckpt.read(spark_l, "carryover", last)
         ident = ident.unionByName(carry.select(*_IDENT_COLS))
     ident = ident.groupBy("domain_hash", "url_hash").agg(
         F.min("url").alias("url"),
         F.min("canonical_url").alias("canonical_url"),
         F.max("priority").alias("priority"),
     )
-    # seen = committed batches STRICTLY BEFORE this one — a retried batch
-    # must not anti-join against its own partial output from the failed
-    # attempt (that would make every row look already-seen)
-    seen_parts = (
-        [
-            os.path.join(seen_dir, d)
-            for d in os.listdir(seen_dir)
-            if (m := _re.fullmatch(r"batch_id=(\d+)", d)) and int(m.group(1)) < batch_id
-        ]
-        if os.path.isdir(seen_dir)
-        else []
-    )
-    if seen_parts:
-        seen = spark_l.read.parquet(*sorted(seen_parts)).select(
-            "domain_hash", "url_hash"
+    # seen = rounds strictly before this batch (same retry argument)
+    seen = ckpt.read_all_rounds(spark_l, "seen", batch_id - 1) if batch_id > 0 else None
+    if seen is not None:
+        novel = ident.join(
+            seen.select("domain_hash", "url_hash"), ["domain_hash", "url_hash"], "left_anti"
         )
-        novel = ident.join(seen, ["domain_hash", "url_hash"], "left_anti")
     else:
         novel = ident
     novel = novel.cache()
@@ -243,29 +230,47 @@ def frontier_process_batch(
         return_disallowed=True,
     )
     sched = sched.cache()
-    sched.write.mode("overwrite").parquet(
-        os.path.join(sched_dir, f"batch_id={batch_id}")
-    )
+    ckpt.write(sched, "scheduled", batch_id)
     handled = (
         sched.select("domain_hash", "url_hash")
         .unionByName(disallowed.select("domain_hash", "url_hash"))
         .cache()
     )
-    handled.write.mode("overwrite").parquet(
-        os.path.join(seen_dir, f"batch_id={batch_id}")
-    )
+    compacting = compact_every > 0 and batch_id > 0 and batch_id % compact_every == 0
+    if compacting and seen is not None:
+        # fold the whole history into this round's seen table; older
+        # rounds become redundant and are pruned after the commit
+        seen_out = handled.unionByName(seen.select("domain_hash", "url_hash")).distinct()
+    else:
+        seen_out = handled
+    ckpt.write(seen_out, "seen", batch_id)
     # allowed-but-over-budget novel rows → next trigger's backlog
     leftover = novel.join(handled, ["domain_hash", "url_hash"], "left_anti").select(
         *_IDENT_COLS
     )
-    leftover.write.mode("overwrite").parquet(
-        os.path.join(carry_dir, f"after_batch={batch_id}")
-    )
+    ckpt.write(leftover, "carryover", batch_id)
+    n_sched = sched.count()
     handled.unpersist()
     sched.unpersist()
     novel.unpersist()
     if _die_before_marker:
         raise RuntimeError("simulated kill before commit marker")
-    os.makedirs(marker_dir, exist_ok=True)
-    with open(marker, "w", encoding="utf-8") as fh:
-        fh.write(str(batch_id))
+    ckpt.commit_round(
+        batch_id,
+        {t: f"round={batch_id}" for t in ("scheduled", "seen", "carryover")},
+        extra={"scheduled": n_sched},
+    )
+    # post-commit maintenance (parquet emulation only; Iceberg has native
+    # table maintenance): prune seen rounds folded into this one and all
+    # superseded carryover rounds
+    root = getattr(ckpt, "root", None)
+    if root is not None:
+        for table, horizon in (("seen", batch_id if compacting else -1), ("carryover", batch_id)):
+            tdir = os.path.join(root, table)
+            if horizon < 0 or not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                if d.startswith("round="):
+                    r = int(d.split("=", 1)[1])
+                    if r < horizon:
+                        shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
