@@ -22,6 +22,8 @@ Semantics per reference URLUtils.canonicalizeURL (URLUtils.java:355-434)
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -332,10 +334,20 @@ def canonicalize_batch_kernel(
     )
     idx_el = np.flatnonzero(eligible)
     if strip_www and len(idx_el):
-        handled, canon, hosts = canonicalize_matrix([vals[i] for i in idx_el])
-        out[idx_el] = canon
-        out_host[idx_el] = hosts
-        rest = idx_el[~handled]
+        # chunked: the matrix pass allocates ~25 n×L temporaries; sizing
+        # n so they stay LLC-resident cuts DRAM traffic ~4× — the
+        # resource K parallel workers actually contend on (the N→4N
+        # scaling criterion).  Chunk-local width also shrinks padding:
+        # one 4kB outlier URL no longer widens every row's matrix.
+        chunk = int(os.environ.get("CCSPARK_KERNEL_CHUNK", "8192"))
+        rest_parts = []
+        for s in range(0, len(idx_el), chunk):
+            sub = idx_el[s : s + chunk]
+            handled, canon, hosts = canonicalize_matrix([vals[i] for i in sub])
+            out[sub] = canon
+            out_host[sub] = hosts
+            rest_parts.append(sub[~handled])
+        rest = np.concatenate(rest_parts)
     else:
         rest = idx_el
     rest = np.concatenate([rest, np.flatnonzero(~eligible)])

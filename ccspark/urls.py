@@ -30,6 +30,7 @@ frontier), and only the residue goes through the per-string slow path.
 
 from __future__ import annotations
 
+import os
 import re
 from functools import lru_cache
 
@@ -707,7 +708,17 @@ def urlfp_batch(canonical: pd.Series, hosts: pd.Series | None = None) -> pd.Data
     a small fraction of the rows.  Pass ``hosts`` (the canonicalization
     kernel's byproduct) to skip the regex re-extraction."""
     vals = canonical.tolist()
-    url_hash = hashing.fp64_utf16(vals)
+    # chunked like the canonicalize kernel: the Rabin column walk updates
+    # an 8-byte state per row maxlen times — LLC-resident chunks keep
+    # that traffic off the shared memory bus (and per-chunk max length
+    # shrinks the padded matrix)
+    _ch = int(os.environ.get("CCSPARK_KERNEL_CHUNK", "8192"))
+    if len(vals) > _ch:
+        url_hash = np.concatenate(
+            [hashing.fp64_utf16(vals[s : s + _ch]) for s in range(0, len(vals), _ch)]
+        )
+    else:
+        url_hash = hashing.fp64_utf16(vals)
     if hosts is None:
         hosts = canonical.str.extract(_FAST_HOST_RE, expand=False)
     uniq = pd.unique(hosts.dropna())
