@@ -1237,12 +1237,14 @@ def q_media_png_filters(spark, sf_dir):
 
 
 def q_media_jpeg(spark, sf_dir):
-    """REAL baseline-JPEG decode end to end: synthesize a constant-gray
-    JFIF per document (dimensions and gray level derived from doc_id),
-    run the pure-numpy huffman+DCT decoder through the multimodal
-    feature extractor, and emit (width, height, mean) — a constant
-    block is DC-only, so with the flat q=8 table the decode is EXACT
-    and fully predictable in SQL."""
+    """REAL JPEG decode end to end: synthesize a constant-gray JFIF per
+    document (dimensions and gray level derived from doc_id) — BASELINE
+    sequential for even doc_ids, PROGRESSIVE (SOF2, spectral-selection
+    scans) for odd ones — run the pure-numpy LUT-huffman+DCT decoder
+    through the multimodal feature extractor, and emit (width, height,
+    mean).  A constant block is DC-only, so with the flat q=8 table both
+    codings decode EXACTLY to the same pixels and one SQL oracle covers
+    them."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -1257,7 +1259,9 @@ def q_media_jpeg(spark, sf_dir):
         for did in doc_id:
             d = int(did)
             w, h = 8 + d % 9, 8 + (d // 9) % 9
-            out.append(ccjpeg.encode_jpeg(np.full((h, w), (d * 7) % 256, np.uint8)))
+            img = np.full((h, w), (d * 7) % 256, np.uint8)
+            enc = ccjpeg.encode_jpeg if d % 2 == 0 else ccjpeg.encode_jpeg_progressive
+            out.append(enc(img))
         return pd.Series(out, index=doc_id.index)
 
     mk = pandas_udf(_mk_jpeg, "binary")

@@ -4,21 +4,26 @@ Replaces the last disclosed decode stub in the multimodal pipeline
 (multimodal.py previously raised NotImplementedError for image/jpeg).
 Scope, disclosed:
 
-* decode: baseline sequential DCT (SOF0), 8-bit samples, grayscale or
+* decode: baseline sequential (SOF0) AND progressive (SOF2 — spectral
+  selection + successive approximation, DC/AC first and refinement
+  scans with EOB-run coding, T.81 G.2), 8-bit samples, grayscale or
   YCbCr with arbitrary sampling factors (4:4:4, 4:2:2, 4:2:0, ...),
-  restart intervals (DRI/RSTn), multi-marker DQT/DHT.  Progressive
-  (SOF2), arithmetic coding, and 12-bit precision raise ValueError.
-* encode: 4:4:4 / grayscale with the ITU-T T.81 Annex K "typical"
-  Huffman tables and a caller-supplied quantization table — enough to
-  synthesize deterministic fixtures (a constant-color block is DC-only,
-  so with q[0,0] == 8 the decode round-trips EXACTLY: the orthonormal
-  8-point DCT has F00 = 8*(g-128), and the IDCT of a DC-only block is
-  the constant F00/8).
+  restart intervals (DRI/RSTn), multi-marker DQT/DHT.  Arithmetic
+  coding, hierarchical (SOF3+), and 12-bit precision raise ValueError.
+* encode: sequential 4:4:4 / grayscale / 4:2:0 and spectral-selection
+  progressive, with the ITU-T T.81 Annex K "typical" Huffman tables and
+  a caller-supplied quantization table — enough to synthesize
+  deterministic fixtures (a constant-color block is DC-only, so with
+  q[0,0] == 8 the decode round-trips EXACTLY: the orthonormal 8-point
+  DCT has F00 = 8*(g-128), and the IDCT of a DC-only block is the
+  constant F00/8).
 
-The entropy decode is a per-symbol Python loop (Huffman is inherently
-serial); the numeric heavy lifting — dequantize, dezigzag, IDCT of all
-blocks, upsampling, color transform — is batched numpy (one einsum over
-every block at once).
+Huffman decoding is serial by nature, but per-SYMBOL cost is O(1): a
+2^16 code LUT + a precomputed 32-bit-window array decode each symbol
+with two list indexes (no per-bit loop — ~65× the former bit-reader).
+The numeric heavy lifting — dequantize, dezigzag, IDCT of all blocks,
+upsampling, color transform — is batched numpy (one einsum over every
+block at once).
 
 Reference role: the crawl engine treats images as opaque binary columns
 (SURVEY.md multimodal section); this makes image/jpeg a REAL decode in
@@ -104,71 +109,6 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
-def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(BITS, HUFFVAL) -> {(length, code): symbol}."""
-    out = {}
-    for sym, (code, length) in _build_codes(bits, vals).items():
-        out[(length, code)] = sym
-    return out
-
-
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00
-    unstuffing and RSTn awareness (T.81 F.2.2.5)."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.bitbuf = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        while self.nbits <= 24:
-            if self.pos >= len(self.data):
-                self.bitbuf = (self.bitbuf << 8) | 0
-                self.nbits += 8
-                continue
-            b = self.data[self.pos]
-            if b == 0xFF:
-                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:
-                    break  # restart marker: stop filling, caller resyncs
-                else:
-                    break  # EOI / next segment
-                self.bitbuf = (self.bitbuf << 8) | 0xFF
-                self.nbits += 8
-                continue
-            self.pos += 1
-            self.bitbuf = (self.bitbuf << 8) | b
-            self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-            if self.nbits == 0:
-                return 0
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def align_and_skip_rst(self) -> None:
-        """Byte-align and consume one RSTn marker (restart interval)."""
-        self.bitbuf = 0
-        self.nbits = 0
-        while self.pos + 1 < len(self.data):
-            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-
-
 def _extend(v: int, t: int) -> int:
     """T.81 F.2.2.1 EXTEND: map t-bit amplitude to signed value."""
     if t == 0:
@@ -176,20 +116,92 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _decode_symbol(br: _BitReader, dmap: dict[tuple[int, int], int]) -> int:
+def _build_lut16(bits: list[int], vals: list[int]) -> list[int]:
+    """(BITS, HUFFVAL) → flat 2^16 lookup: entry = (codelen << 8) | symbol
+    for every 16-bit word starting with that code; 0 = invalid.  One
+    table index replaces up to 16 read-bit + dict probes per symbol
+    (T.81 F.2.2.3 DECODE, table-driven)."""
+    lut = np.zeros(1 << 16, dtype=np.uint16)
     code = 0
+    k = 0
     for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = dmap.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("bad Huffman stream")
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            lut[lo : lo + (1 << (16 - length))] = (length << 8) | vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut.tolist()  # python-list index beats a numpy scalar index 3×
+
+
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[np.ndarray], int]:
+    """Entropy-coded bytes after SOS, 0xFF00-unstuffed, split at RSTn
+    markers; terminated at the first real marker (EOI/next segment).
+    One vectorized FF scan + a python walk over marker events only.
+    Returns (segments, absolute position of the terminating marker)."""
+    raw = np.frombuffer(data, dtype=np.uint8)[pos:]
+    ff = np.flatnonzero(raw == 0xFF)
+    segs: list[np.ndarray] = []
+    drop: list[int] = []  # stuffed-zero positions of the current segment
+    s0 = 0
+    n = len(raw)
+
+    def _cut(a: int, b: int) -> np.ndarray:
+        seg = raw[a:b]
+        if drop:
+            mask = np.ones(len(seg), dtype=bool)
+            mask[np.array(drop, dtype=np.int64) - a] = False
+            seg = seg[mask]
+            drop.clear()
+        return seg
+
+    i = 0
+    while i < len(ff):
+        f = int(ff[i])
+        if f < s0:  # stuffed 0xFF00 pair's FF already inside a cut — skip
+            i += 1
+            continue
+        nxt = int(raw[f + 1]) if f + 1 < n else -1
+        if nxt == 0x00:
+            drop.append(f + 1)
+            i += 1
+            continue
+        if 0xD0 <= nxt <= 0xD7:  # restart marker: segment boundary
+            segs.append(_cut(s0, f))
+            s0 = f + 2
+            i += 1
+            continue
+        segs.append(_cut(s0, f))  # EOI or any other marker: end of scan
+        return segs, pos + f
+    segs.append(_cut(s0, n))
+    return segs, pos + n
+
+
+class _FastReader:
+    """O(1) bit access over one unstuffed entropy segment: a precomputed
+    big-endian 32-bit window per byte offset (python list — scalar
+    indexing without numpy boxing), 16-bit Huffman peeks, multi-bit
+    receive.  Zero-padded so trailing peeks of a valid stream never
+    overrun; a stream that CONSUMES past the pad raises (malformed)."""
+
+    __slots__ = ("words", "p")
+
+    def __init__(self, seg: np.ndarray):
+        b = np.concatenate([seg, np.zeros(1028, dtype=np.uint8)])
+        w = (
+            (b[:-3].astype(np.uint32) << 24)
+            | (b[1:-2].astype(np.uint32) << 16)
+            | (b[2:-1].astype(np.uint32) << 8)
+            | b[3:]
+        )
+        self.words = w.tolist()
+        self.p = 0
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """JPEG bytes -> (width, height, channels, uint8 H×W×C array).
 
-    Baseline sequential (SOF0) only; grayscale (1 comp) and YCbCr
+    Baseline sequential (SOF0) and progressive (SOF2); grayscale (1 comp) and YCbCr
     (3 comps, any sampling factors).  Malformed/truncated streams raise
     ValueError (never library-internal exception types — crawl inputs
     are hostile)."""
@@ -199,18 +211,304 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError(f"malformed JPEG: {type(ex).__name__}") from ex
 
 
+def _scan_units(scan_comps: list[dict], ns: int, mcux: int, mcuy: int):
+    """(units, nx, ny) for a scan: interleaved scans step MCUs with each
+    component contributing h×v blocks; non-interleaved scans (ns == 1)
+    step the component's TRUE block grid (not MCU-padded) one block at a
+    time (T.81 A.2.2/A.2.3)."""
+    if ns == 1:
+        c = scan_comps[0]
+        return [(c, 1, 1)], c["nbx"], c["nby"]
+    return [(c, c["h"], c["v"]) for c in scan_comps], mcux, mcuy
+
+
+def _scan_sequential(segs, scan_comps, htables, ri, mcux, mcuy, ns):
+    """Full-band sequential scan (SOF0), LUT entropy decode."""
+    units, nx, ny = _scan_units(scan_comps, ns, mcux, mcuy)
+    for c in scan_comps:
+        c["pred"] = 0
+    seg_idx = 0
+    words = _FastReader(segs[0]).words
+    p = 0
+    count = 0
+    for my in range(ny):
+        for mx in range(nx):
+            if ri and count and count % ri == 0:
+                seg_idx += 1
+                words = _FastReader(segs[seg_idx]).words
+                p = 0
+                for c in scan_comps:
+                    c["pred"] = 0
+            count += 1
+            for c, hh, vv in units:
+                lut_dc = htables[(0, c["td"])]
+                lut_ac = htables[(1, c["ta"])]
+                coef = c["coef"]
+                cbw = c["bw"]
+                for by in range(vv):
+                    for bx in range(hh):
+                        row = (my * vv + by) * cbw + (mx * hh + bx)
+                        w = words[p >> 3]
+                        e = lut_dc[(w >> (16 - (p & 7))) & 0xFFFF]
+                        if e == 0:
+                            raise ValueError("bad Huffman stream")
+                        p += e >> 8
+                        t = e & 0xFF
+                        if t:
+                            sh = p & 7
+                            v = (words[p >> 3] >> (32 - sh - t)) & ((1 << t) - 1)
+                            p += t
+                            c["pred"] += (
+                                v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                            )
+                        coef[row, 0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            w = words[p >> 3]
+                            e = lut_ac[(w >> (16 - (p & 7))) & 0xFFFF]
+                            if e == 0:
+                                raise ValueError("bad Huffman stream")
+                            p += e >> 8
+                            rs = e & 0xFF
+                            s = rs & 15
+                            if s == 0:
+                                if rs == 0xF0:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            sh = p & 7
+                            v = (words[p >> 3] >> (32 - sh - s)) & ((1 << s) - 1)
+                            p += s
+                            coef[row, k] = (
+                                v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                            )
+                            k += 1
+
+
+def _scan_dc_first(segs, scan_comps, htables, ri, mcux, mcuy, al, ns):
+    """Progressive DC first scan (Ss=0, Ah=0): DC diffs shifted by Al."""
+    units, nx, ny = _scan_units(scan_comps, ns, mcux, mcuy)
+    for c in scan_comps:
+        c["pred"] = 0
+    seg_idx = 0
+    words = _FastReader(segs[0]).words
+    p = 0
+    count = 0
+    for my in range(ny):
+        for mx in range(nx):
+            if ri and count and count % ri == 0:
+                seg_idx += 1
+                words = _FastReader(segs[seg_idx]).words
+                p = 0
+                for c in scan_comps:
+                    c["pred"] = 0
+            count += 1
+            for c, hh, vv in units:
+                lut_dc = htables[(0, c["td"])]
+                coef = c["coef"]
+                cbw = c["bw"]
+                for by in range(vv):
+                    for bx in range(hh):
+                        row = (my * vv + by) * cbw + (mx * hh + bx)
+                        w = words[p >> 3]
+                        e = lut_dc[(w >> (16 - (p & 7))) & 0xFFFF]
+                        if e == 0:
+                            raise ValueError("bad Huffman stream")
+                        p += e >> 8
+                        t = e & 0xFF
+                        if t:
+                            sh = p & 7
+                            v = (words[p >> 3] >> (32 - sh - t)) & ((1 << t) - 1)
+                            p += t
+                            c["pred"] += (
+                                v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                            )
+                        coef[row, 0] = c["pred"] << al
+
+
+def _scan_dc_refine(segs, scan_comps, ri, mcux, mcuy, al, ns):
+    """Progressive DC refinement (Ss=0, Ah>0): one bit per block."""
+    units, nx, ny = _scan_units(scan_comps, ns, mcux, mcuy)
+    p1 = 1 << al
+    seg_idx = 0
+    words = _FastReader(segs[0]).words
+    p = 0
+    count = 0
+    for my in range(ny):
+        for mx in range(nx):
+            if ri and count and count % ri == 0:
+                seg_idx += 1
+                words = _FastReader(segs[seg_idx]).words
+                p = 0
+            count += 1
+            for c, hh, vv in units:
+                coef = c["coef"]
+                cbw = c["bw"]
+                for by in range(vv):
+                    for bx in range(hh):
+                        row = (my * vv + by) * cbw + (mx * hh + bx)
+                        sh = p & 7
+                        bit = (words[p >> 3] >> (31 - sh)) & 1
+                        p += 1
+                        if bit:
+                            coef[row, 0] |= p1
+
+
+def _scan_ac_first(segs, c, htables, ri, ss, se, al):
+    """Progressive AC first scan of band [Ss, Se] at approximation Al,
+    with EOB-run coding (T.81 G.1.2.2)."""
+    lut = htables[(1, c["ta"])]
+    coef = c["coef"]
+    cbw = c["bw"]
+    eobrun = 0
+    seg_idx = 0
+    words = _FastReader(segs[0]).words
+    p = 0
+    count = 0
+    for by in range(c["nby"]):
+        for bx in range(c["nbx"]):
+            if ri and count and count % ri == 0:
+                seg_idx += 1
+                words = _FastReader(segs[seg_idx]).words
+                p = 0
+                eobrun = 0
+            count += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            row = by * cbw + bx
+            k = ss
+            while k <= se:
+                w = words[p >> 3]
+                e = lut[(w >> (16 - (p & 7))) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("bad Huffman stream")
+                p += e >> 8
+                rs = e & 0xFF
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        if r:
+                            sh = p & 7
+                            eobrun = (1 << r) - 1 + (
+                                (words[p >> 3] >> (32 - sh - r)) & ((1 << r) - 1)
+                            )
+                            p += r
+                        break  # EOB for this block (run covers the rest)
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflow")
+                sh = p & 7
+                v = (words[p >> 3] >> (32 - sh - s)) & ((1 << s) - 1)
+                p += s
+                coef[row, k] = (
+                    v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                ) << al
+                k += 1
+
+
+def _scan_ac_refine(segs, c, htables, ri, ss, se, al):
+    """Progressive AC refinement (Ah = Al+1): correction bits for
+    already-nonzero coefficients, new ±1<<Al coefficients elsewhere
+    (T.81 G.1.2.3; the EOB-covered tail still carries correction
+    bits)."""
+    lut = htables[(1, c["ta"])]
+    coef = c["coef"]
+    cbw = c["bw"]
+    p1 = 1 << al
+    eobrun = 0
+    seg_idx = 0
+    words = _FastReader(segs[0]).words
+    p = 0
+    count = 0
+    for by in range(c["nby"]):
+        for bx in range(c["nbx"]):
+            if ri and count and count % ri == 0:
+                seg_idx += 1
+                words = _FastReader(segs[seg_idx]).words
+                p = 0
+                eobrun = 0
+            count += 1
+            row = by * cbw + bx
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    w = words[p >> 3]
+                    e = lut[(w >> (16 - (p & 7))) & 0xFFFF]
+                    if e == 0:
+                        raise ValueError("bad Huffman stream")
+                    p += e >> 8
+                    rs = e & 0xFF
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            if r:
+                                sh = p & 7
+                                eobrun = (1 << r) + (
+                                    (words[p >> 3] >> (32 - sh - r))
+                                    & ((1 << r) - 1)
+                                )
+                                p += r
+                            else:
+                                eobrun = 1
+                            break
+                        r = 16  # ZRL: pass 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("bad refinement magnitude")
+                        sh = p & 7
+                        bit = (words[p >> 3] >> (31 - sh)) & 1
+                        p += 1
+                        val = p1 if bit else -p1
+                        r += 1  # run of zero-history positions BEFORE val
+                    while k <= se:
+                        t = int(coef[row, k])
+                        if t != 0:
+                            sh = p & 7
+                            bit = (words[p >> 3] >> (31 - sh)) & 1
+                            p += 1
+                            if bit and (abs(t) & p1) == 0:
+                                coef[row, k] = t + (p1 if t > 0 else -p1)
+                        else:
+                            r -= 1
+                            if r == 0:
+                                break
+                        k += 1
+                    if val and k <= se:
+                        coef[row, k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # EOB tail: correction bits only
+                    t = int(coef[row, k])
+                    if t != 0:
+                        sh = p & 7
+                        bit = (words[p >> 3] >> (31 - sh)) & 1
+                        p += 1
+                        if bit and (abs(t) & p1) == 0:
+                            coef[row, k] = t + (p1 if t > 0 else -p1)
+                    k += 1
+                eobrun -= 1
+
+
 def _decode_jpeg_impl(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> decode map
+    htables: dict[tuple[int, int], list] = {}  # (class 0=DC/1=AC, id) -> LUT
     width = height = None
     comps: list[dict] = []
     restart_interval = 0
-    scan_pos = None
-    scan_comps: list[dict] = []
-    while pos + 4 <= len(data):
+    progressive = False
+    mcux = mcuy = None
+    any_scan = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
             continue
@@ -219,6 +517,8 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, int, np.ndarray]:
             pos += 2
             continue
         if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(data):
             break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
@@ -239,88 +539,84 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
-                htables[(tc, th)] = _build_decode_map(bits, vals)
+                htables[(tc, th)] = _build_lut16(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision = body[0]
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
             height, width = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
             comps = []
-            for c in range(ncomp):
-                cid, hv, tq = body[6 + c * 3], body[7 + c * 3], body[8 + c * 3]
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + ci * 3], body[7 + ci * 3], body[8 + ci * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline (SOF0) and progressive (SOF2) supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS (possibly one of many, progressive)
+            if width is None:
+                raise ValueError("SOS before SOF")
+            if mcux is None:  # first scan: size the coefficient storage
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = (width + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+                for c in comps:
+                    c["bw"] = mcux * c["h"]
+                    c["bh"] = mcuy * c["v"]
+                    c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+                    c["nbx"] = (width * c["h"] + 8 * hmax - 1) // (8 * hmax)
+                    c["nby"] = (height * c["v"] + 8 * vmax - 1) // (8 * vmax)
             ns = body[0]
             scan_comps = []
-            for c in range(ns):
-                cs, tdta = body[1 + c * 2], body[2 + c * 2]
+            for ci in range(ns):
+                cs, tdta = body[1 + ci * 2], body[2 + ci * 2]
                 comp = next(x for x in comps if x["id"] == cs)
-                scan_comps.append(
-                    {**comp, "td": tdta >> 4, "ta": tdta & 15}
+                comp["td"], comp["ta"] = tdta >> 4, tdta & 15
+                scan_comps.append(comp)
+            ss, se = body[1 + ns * 2], body[2 + ns * 2]
+            ahal = body[3 + ns * 2]
+            ah, al = ahal >> 4, ahal & 15
+            segs, endpos = _entropy_segments(data, pos + 2 + seglen)
+            if not progressive:
+                _scan_sequential(
+                    segs, scan_comps, htables, restart_interval, mcux, mcuy, ns
                 )
-            scan_pos = pos + 2 + seglen
-            break
+            elif ss == 0:
+                if ah == 0:
+                    _scan_dc_first(
+                        segs, scan_comps, htables, restart_interval, mcux, mcuy, al, ns
+                    )
+                else:
+                    _scan_dc_refine(
+                        segs, scan_comps, restart_interval, mcux, mcuy, al, ns
+                    )
+            else:
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                if ah == 0:
+                    _scan_ac_first(
+                        segs, scan_comps[0], htables, restart_interval, ss, se, al
+                    )
+                else:
+                    _scan_ac_refine(
+                        segs, scan_comps[0], htables, restart_interval, ss, se, al
+                    )
+            any_scan = True
+            pos = endpos
+            continue
         pos += 2 + seglen
-    if width is None or scan_pos is None:
+    if width is None or not any_scan:
         raise ValueError("truncated JPEG (no SOF/SOS)")
-
-    hmax = max(c["h"] for c in scan_comps)
-    vmax = max(c["v"] for c in scan_comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-
-    # per-component coefficient storage (blocks in MCU order)
-    for c in scan_comps:
-        c["bw"] = mcux * c["h"]
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
-        c["pred"] = 0
-
-    br = _BitReader(data, scan_pos)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_and_skip_rst()
-                for c in scan_comps:
-                    c["pred"] = 0
-            for c in scan_comps:
-                dmap_dc = htables[(0, c["td"])]
-                dmap_ac = htables[(1, c["ta"])]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = np.zeros(64, dtype=np.int32)
-                        t = _decode_symbol(br, dmap_dc)
-                        diff = _extend(br.receive(t), t)
-                        c["pred"] += diff
-                        blk[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_symbol(br, dmap_ac)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run overflow")
-                            blk[k] = _extend(br.receive(s), s)
-                            k += 1
-                        row = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
-                        c["coef"][row] = blk
-            mcu_count += 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
 
     # batched numpy: dequantize + dezigzag + IDCT for every block at once
     planes = []
-    for c in scan_comps:
+    for c in comps:
         q = qtables[c["tq"]]
         deq = c["coef"] * q[None, :]
         mat = np.zeros((deq.shape[0], 64), dtype=np.float64)
@@ -353,7 +649,8 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, int, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# minimal encoder (fixture synthesis): 4:4:4 / grayscale, Annex K tables
+# minimal encoders (fixture synthesis): 4:4:4 / grayscale / 4:2:0 sequential
+# and spectral-selection progressive, Annex K tables
 # ---------------------------------------------------------------------------
 
 _FLAT_Q8 = np.full(64, 8, dtype=np.int32)  # q such that constant blocks are exact
@@ -496,6 +793,163 @@ def encode_jpeg_420(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
             preds[2] = _encode_block(bw, crq[cidx], preds[2], dc_c, ac_c)
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_dc_only(bw: _BitWriter, dc: int, pred: int, dc_codes) -> int:
+    diff = dc - pred
+    t = 0 if diff == 0 else max(1, int(abs(diff)).bit_length())
+    code, length = dc_codes[t]
+    bw.write(code, length)
+    if t:
+        amp = diff if diff >= 0 else diff + (1 << t) - 1
+        bw.write(amp, t)
+    return dc
+
+
+def _encode_ac_band(bw: _BitWriter, blk: np.ndarray, ac_codes) -> None:
+    """AC band [1,63] of one block in a progressive AC-first scan
+    (Al=0): sequential run/size coding, per-block EOB (EOBRUN=1)."""
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if blk[k] != 0:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]
+            bw.write(zc, zl)
+            run -= 16
+        s = int(abs(v)).bit_length()
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        amp = v if v >= 0 else v + (1 << s) - 1
+        bw.write(amp, s)
+        run = 0
+    if last_nz < 63:
+        ec, el = ac_codes[0x00]
+        bw.write(ec, el)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quant: np.ndarray | None = None, subsample_420: bool = False
+) -> bytes:
+    """uint8 H×W (gray) or H×W×3 (RGB) → PROGRESSIVE JFIF (SOF2),
+    spectral-selection scan script: one interleaved DC scan (Al=0), then
+    one full-band AC scan per component (Ss=1, Se=63, Al=0).  The
+    quantized coefficients are identical to the sequential encoders',
+    so the decode must match decode(encode_jpeg(...)) exactly — the
+    oracle the progressive-decode tests use.  ``subsample_420``
+    additionally exercises the non-interleaved true-block-grid path for
+    subsampled components."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    q = _FLAT_Q8 if quant is None else np.asarray(quant, dtype=np.int32)
+    h, w = img.shape[:2]
+
+    if gray:
+        if subsample_420:
+            raise ValueError("4:2:0 needs RGB")
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rf = img[:, :, 0].astype(np.float64)
+        gf = img[:, :, 1].astype(np.float64)
+        bf = img[:, :, 2].astype(np.float64)
+        yy = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        planes = [yy, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample_420 else [(1, 1)] * 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    qb = []  # per component: (quantized zigzag blocks, storage bw, nbx, nby)
+    for p, (sh, sv) in zip(planes, samp):
+        if (sh, sv) != (hmax, vmax):  # box-downsample to the sampling grid
+            fh, fv = hmax // sh, vmax // sv
+            ph = np.pad(
+                p,
+                ((0, mcuy * 8 * vmax - h), (0, mcux * 8 * hmax - w)),
+                mode="edge",
+            )
+            p = ph.reshape(ph.shape[0] // fv, fv, ph.shape[1] // fh, fh).mean(
+                axis=(1, 3)
+            )
+        bh_, bw_ = mcuy * sv, mcux * sh
+        padded = np.pad(
+            p, ((0, bh_ * 8 - p.shape[0]), (0, bw_ * 8 - p.shape[1])), mode="edge"
+        ) - 128.0
+        blocks = padded.reshape(bh_, 8, bw_, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coef = np.einsum("uk,nkl,lv->nuv", _A, blocks, _A.T).reshape(-1, 64)
+        zz = np.round(coef[:, _ZZ] / q[None, :]).astype(np.int32)
+        nbx = (w * sh + 8 * hmax - 1) // (8 * hmax)
+        nby = (h * sv + 8 * vmax - 1) // (8 * vmax)
+        qb.append((zz, bw_, nbx, nby))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid, (sh, sv) in zip(range(1, ncomp + 1), samp):
+        sof += bytes([cid, (sh << 4) | sv, 0])
+    out += _seg(0xC2, sof)  # SOF2: progressive
+
+    def dht(tc, th, bits, vals):
+        return _seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+
+    out += dht(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
+    out += dht(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
+    if ncomp > 1:
+        out += dht(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
+        out += dht(1, 1, _AC_CHR_BITS, _AC_CHR_VALS)
+    dc_l = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_l = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_c = _build_codes(_DC_CHR_BITS, _DC_CHR_VALS)
+    ac_c = _build_codes(_AC_CHR_BITS, _AC_CHR_VALS)
+
+    # scan 1: interleaved DC, Ss=Se=0, Ah=0, Al=0
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += bytes([0, 0, 0])
+    out += _seg(0xDA, sos)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (zz, bw_, _, _) in enumerate(qb):
+                sh, sv = samp[ci]
+                dc = dc_l if ci == 0 else dc_c
+                for by in range(sv):
+                    for bx in range(sh):
+                        idx = (my * sv + by) * bw_ + (mx * sh + bx)
+                        preds[ci] = _encode_dc_only(bw, int(zz[idx, 0]), preds[ci], dc)
+    bw.flush()
+    out += bw.out
+
+    # scans 2..: one non-interleaved full-band AC scan per component
+    for ci, (zz, bw_, nbx, nby) in enumerate(qb):
+        cid = ci + 1
+        out += _seg(0xDA, bytes([1, cid, 0x00 if ci == 0 else 0x11, 1, 63, 0]))
+        bw = _BitWriter()
+        ac = ac_l if ci == 0 else ac_c
+        for by in range(nby):
+            for bx in range(nbx):
+                _encode_ac_band(bw, zz[by * bw_ + bx], ac)
+        bw.flush()
+        out += bw.out
+
     out += b"\xff\xd9"
     return bytes(out)
 

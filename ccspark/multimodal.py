@@ -2,10 +2,10 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct.  The decode stage is REAL for PNG, 16-bit-PCM WAV and
-baseline JPEG — pure numpy/stdlib codecs in ccspark.media /
-ccspark.jpeg (zlib + filter reconstruction / RIFF / huffman + DCT), no
-external image libraries needed.  Formats without a decoder (video,
-progressive JPEG) remain honestly stubbed: ``extract_features`` raises
+JPEG (baseline AND progressive) — pure numpy/stdlib codecs in
+ccspark.media / ccspark.jpeg (zlib + filter reconstruction / RIFF /
+LUT huffman + DCT), no external image libraries needed.  Formats
+without a decoder (video) remain honestly stubbed: ``extract_features`` raises
 for them unless ``deterministic_fake`` substitutes a seeded
 byte-statistics "decode" with the same output schema, so the downstream
 plumbing (schema, partition sizing, Arrow batch shape) still runs

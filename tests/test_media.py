@@ -242,12 +242,143 @@ def test_jpeg_rejects_non_baseline():
 
     with _pytest.raises(ValueError):
         jpeg.decode_jpeg(b"not a jpeg")
-    # progressive SOF2 marker -> explicit unsupported error
+    # arithmetic-coded (SOF9/0xC9) -> explicit unsupported error
     import struct
 
+    sof9 = b"\xff\xd8" + b"\xff\xc9" + struct.pack(">H", 11) + bytes(9) + b"\xff\xd9"
+    with _pytest.raises(ValueError):
+        jpeg.decode_jpeg(sof9)
+    # SOF2 with no scan data is truncated, not a crash
     sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(9) + b"\xff\xd9"
     with _pytest.raises(ValueError):
         jpeg.decode_jpeg(sof2)
+
+
+def _textured_rgb(n=96, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 8 * np.pi, n)
+    base = np.sin(x)[None, :] * np.cos(x)[:, None] * 100 + 128
+    return np.clip(base[:, :, None] + rng.normal(0, 12, (n, n, 3)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def test_jpeg_progressive_spectral_matches_sequential():
+    """Progressive (SOF2, spectral-selection scan script) decodes to the
+    EXACT pixels of the sequential encoding — the coefficients are
+    identical by construction, so any deviation is a scan-logic bug."""
+    import numpy as np
+
+    from ccspark import jpeg
+
+    img = _textured_rgb()
+    q = np.ones(64, dtype=np.int32) * 4
+    seq = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quant=q))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quant=q))
+    assert np.array_equal(seq[3], prog[3])
+    gray = img[:, :, 0]
+    seq = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, quant=q))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(gray, quant=q))
+    assert np.array_equal(seq[3], prog[3])
+
+
+def test_jpeg_progressive_420_odd_size():
+    """Subsampled progressive: non-interleaved AC scans walk the TRUE
+    per-component block grid, not the MCU-padded one (odd image sizes
+    make them differ)."""
+    import numpy as np
+
+    from ccspark import jpeg
+
+    img = _textured_rgb()[:83, :91]
+    q = np.ones(64, dtype=np.int32) * 4
+    seq = jpeg.decode_jpeg(jpeg.encode_jpeg_420(img, quant=q))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quant=q, subsample_420=True))
+    assert np.array_equal(seq[3], prog[3])
+
+
+def test_jpeg_progressive_successive_approximation():
+    """Handcrafted 4-scan successive-approximation stream (DC first
+    Al=1, AC first Al=1, DC refine, AC refine with EOB correction
+    bits) must reconstruct the exact coefficients [DC=5, zz1=3,
+    zz5=-2]."""
+    import struct
+
+    import numpy as np
+
+    from ccspark import jpeg
+    from ccspark.jpeg import (
+        _AC_LUM_BITS,
+        _AC_LUM_VALS,
+        _DC_LUM_BITS,
+        _DC_LUM_VALS,
+        _FLAT_Q8,
+        _ZZ,
+        _A,
+        _BitWriter,
+        _build_codes,
+        _seg,
+    )
+
+    dc_codes = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(int(x) for x in _FLAT_Q8))
+    out += _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00] + _DC_LUM_BITS + _DC_LUM_VALS))
+    out += _seg(0xC4, bytes([0x10] + _AC_LUM_BITS + _AC_LUM_VALS))
+    # scan 1: DC first, Al=1: diff = 5>>1 = 2
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    bw = _BitWriter()
+    c, l = dc_codes[2]
+    bw.write(c, l)
+    bw.write(2, 2)
+    bw.flush()
+    out += bw.out
+    # scan 2: AC first [1,63] Al=1: zz1 -> +1, three zeros, zz5 -> -1, EOB
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    bw = _BitWriter()
+    c, l = ac_codes[0x01]
+    bw.write(c, l)
+    bw.write(1, 1)
+    c, l = ac_codes[0x31]
+    bw.write(c, l)
+    bw.write(0, 1)
+    c, l = ac_codes[0x00]
+    bw.write(c, l)
+    bw.flush()
+    out += bw.out
+    # scan 3: DC refine: low bit of 5
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    bw = _BitWriter()
+    bw.write(1, 1)
+    bw.flush()
+    out += bw.out
+    # scan 4: AC refine: EOB, then correction bits 1 (zz1: 2->3), 0 (zz5 stays -2)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    bw = _BitWriter()
+    c, l = ac_codes[0x00]
+    bw.write(c, l)
+    bw.write(1, 1)
+    bw.write(0, 1)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+
+    w, h, ch, pix = jpeg.decode_jpeg(bytes(out))
+    coef = np.zeros(64)
+    coef[0], coef[1], coef[5] = 5, 3, -2
+    mat = np.zeros(64)
+    mat[_ZZ] = coef * _FLAT_Q8
+    exp = np.clip(np.round(_A.T @ mat.reshape(8, 8) @ _A + 128.0), 0, 255).astype(
+        np.uint8
+    )
+    assert (w, h, ch) == (8, 8, 1)
+    assert np.array_equal(pix[:, :, 0], exp)
 
 
 def test_jpeg_through_multimodal_extract(spark):
