@@ -294,6 +294,7 @@ class CrawlFrontier:
         from pyspark.sql import Observation
 
         _prof = os.environ.get("CCSPARK_PROFILE") == "1"
+        _expl = os.environ.get("CCSPARK_EXPLAIN") == "1"
         _t0 = _time.time()
 
         def _mark(label):
@@ -302,6 +303,13 @@ class CrawlFrontier:
                 now = _time.time()
                 print(f"[frontier r{round_no}] {label}: {now - _t0:.2f}s", flush=True)
                 _t0 = now
+
+        def _explain(df, label):
+            # plan-audit hook: `CCSPARK_EXPLAIN=1` prints each write
+            # frame's physical plan (the BENCH Exchange audits)
+            if _expl:
+                print(f"==== r{round_no} {label} ====", flush=True)
+                df.explain("formatted")
 
         spark, cfg, ckpt = self.spark, self.cfg, self.ckpt
         prev = round_no - 1
@@ -398,6 +406,7 @@ class CrawlFrontier:
         # one delta-sized Exchange reclusters the window output by
         # partition_id so the Hive-partitioned write lands one file per
         # partition per round — the layout every storage-gate read prunes on
+        _explain(processed.repartition(cfg.num_partitions, "partition_id"), "processed")
         ckpt.write(
             processed.repartition(cfg.num_partitions, "partition_id"),
             "processed",
@@ -441,6 +450,7 @@ class CrawlFrontier:
             filters_new = seenset.build_filters(
                 seen_new, cfg.num_partitions, "cuckoo", cfg.buckets_per_element
             )
+        _explain(filters_new, "filters")
         ckpt.write(
             filters_new, "filters", round_no, partition_by=["partition_id"]
         )  # action 2
@@ -542,6 +552,7 @@ class CrawlFrontier:
         next_frontier = next_frontier.observe(
             obs_frontier, F.count(F.lit(1)).alias("n")
         )
+        _explain(next_frontier, "frontier")
         ckpt.write(
             next_frontier, "frontier", round_no, partition_by=["partition_id"]
         )  # action 3

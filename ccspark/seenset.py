@@ -592,16 +592,23 @@ def update_filters_storage(
     bloom → incremental OR of the delta keys into the previous bitset;
     cuckoo → rebuild over the partition's full seen set (cuckoo tables
     are not OR-mergeable), still without any Exchange — the history is
-    read from the same per-worker incremental cache the gate uses."""
+    read from the same per-worker incremental cache the gate uses.
+
+    The skeleton is a range with EXPLICIT partitioning (one id per task,
+    mapInPandas) rather than a groupBy: a 32-row shuffle looks tiny to
+    AQE, which would coalesce it to ONE post-shuffle partition and run
+    every blob update serially (observed 11 s → 47 s per round on the
+    10^8 endurance run before this fix)."""
     assert kind in ("bloom", "cuckoo")
-    skeleton = spark.range(num_partitions).select(F.col("id").cast("int").alias("partition_id"))
+    skeleton = spark.range(0, num_partitions, 1, num_partitions).select(
+        F.col("id").cast("int").alias("partition_id")
+    )
     k_default = compute_best_k(buckets_per_element)
     m_default = bitset_size(capacity, buckets_per_element) if capacity else None
 
-    def _update(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _update(pid: int) -> pd.DataFrame:
         from . import seenstore
 
-        pid = int(pdf["partition_id"].iloc[0])
         if kind == "bloom":
             prev = seenstore.filter_blob(root, pid, round_no - 1)
             if prev is not None:
@@ -626,7 +633,12 @@ def update_filters_storage(
             columns=["partition_id", "kind", "hash_count", "num_buckets", "n_keys", "bits"],
         )
 
-    return skeleton.groupBy("partition_id").applyInPandas(_update, schema=FILTER_SCHEMA)
+    def _update_iter(batches):
+        for pdf in batches:
+            for pid in pdf["partition_id"]:
+                yield _update(int(pid))
+
+    return skeleton.mapInPandas(_update_iter, schema=FILTER_SCHEMA)
 
 
 def exact_new_urls(candidates: DataFrame, seen: DataFrame) -> DataFrame:

@@ -39,6 +39,8 @@ def main() -> int:
     ap.add_argument("--links", type=int, default=3, help="links discovered per fetch")
     ap.add_argument("--salts", type=int, default=16)
     ap.add_argument("--filter", choices=["bloom", "cuckoo"], default="bloom")
+    ap.add_argument("--max-per-host", type=int, default=None,
+                    help="frontier cap per host (priority eviction)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -58,6 +60,7 @@ def main() -> int:
         round_duration_ms=args.round_ms,
         n_salts=args.salts,
         filter_kind=args.filter,
+        max_frontier_per_host=args.max_per_host,
     )
     fr = CrawlFrontier(spark, args.ckpt, cfg)
     resumed = fr.ckpt.last_committed_round()
@@ -66,13 +69,32 @@ def main() -> int:
         print(f"resuming after committed round {resumed}", file=sys.stderr)
 
     t0 = time.time()
-    metrics = fr.run(seeds, args.rounds)
+    if resumed is None:
+        fr.bootstrap(seeds)
+        start = 0
+    else:
+        fr.ckpt.drop_rounds_after(resumed)
+        start = resumed
+    t_boot = time.time() - t0
+    metrics = []
+    for r in range(start + 1, start + 1 + args.rounds):
+        rt = time.time()
+        m = fr.run_round(r)
+        m["wall_s"] = round(time.time() - rt, 2)
+        metrics.append(m)
+        print(json.dumps(m), file=sys.stderr)  # live per-round record
+        if m["scheduled"] == 0 and m.get("frontier_size", 0) == 0:
+            break
     wall = time.time() - t0
     total_scheduled = sum(m["scheduled"] for m in metrics)
+    total_candidates = sum(m["candidates"] for m in metrics)
     out = {
         "rounds": [m["round"] for m in metrics],
         "scheduled_total": total_scheduled,
+        "candidates_total": total_candidates,
+        "bootstrap_s": round(t_boot, 2),
         "urls_per_sec": round(total_scheduled / wall, 1) if wall > 0 else None,
+        "candidates_per_sec": round(total_candidates / wall, 1) if wall > 0 else None,
         "wall_s": round(wall, 2),
         "metrics": metrics,
     }
