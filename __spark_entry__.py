@@ -897,6 +897,47 @@ def q_link_extract(spark, sf_dir):
     return out.select("url", "link", "canonical_url", "url_valid")
 
 
+def q_link_resolve(spark, sf_dir):
+    """The byte-matrix RFC 3986 resolver (links.resolve_batch) oracled
+    across all seven vector classes — absolute same/different scheme,
+    scheme-relative, root-relative, query-only, path-relative merge,
+    leading-"../" parent walk — each resolvable in closed form the
+    oracle rebuilds with SQL string concatenation."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ccspark import links
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 700").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 50).cast("string"), F.lit(".com/a/b/c.html")
+    )
+    cls = (F.col("doc_id") % 7).cast("int")
+    href = F.element_at(
+        F.array(
+            F.concat(F.lit("ftp://ext"), d, F.lit(".com/f")),      # other scheme
+            F.concat(F.lit("http://abs"), d, F.lit(".com/p")),     # same scheme
+            F.concat(F.lit("//cdn"), d, F.lit(".com/x.js")),       # scheme-relative
+            F.concat(F.lit("/r/"), d),                             # root-relative
+            F.concat(F.lit("?q="), d),                             # query-only
+            F.concat(F.lit("p"), d, F.lit(".html")),               # path-relative
+            F.concat(F.lit("../u"), d),                            # parent walk
+        ),
+        cls + 1,
+    )
+
+    def _resolve_fn(b, h):
+        return links.resolve_batch(b, h)
+
+    resolve = pandas_udf(_resolve_fn, "string")
+    return docs.select(
+        "doc_id",
+        cls.alias("cls"),
+        href.alias("href"),
+        resolve(base, href).alias("link"),
+    )
+
+
 def q_cdx_surt(spark, sf_dir):
     """CDX/SURT index generation oracled: derived captures → SURT keys
     (lowercase, scheme/www-stripped, reversed comma-joined host labels)
@@ -1359,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap_extract": q_sitemap_extract,
         "q_cdx_surt": q_cdx_surt,
         "q_link_extract": q_link_extract,
+        "q_link_resolve": q_link_resolve,
         "q_ewma": q_ewma,
     }
 
@@ -1559,6 +1601,26 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 3 THEN 'http://s' || k || '.example.com/up' || i "
             "ELSE 'https://ext' || e || '.com/p?a=1&b=2' END AS canonical_url, "
             "TRUE AS url_valid FROM f"
+        ),
+        "q_link_resolve": (
+            "SELECT doc_id, CAST(doc_id % 7 AS INT) AS cls, "
+            "CASE CAST(doc_id % 7 AS INT) "
+            "WHEN 0 THEN 'ftp://ext' || CAST(doc_id AS VARCHAR) || '.com/f' "
+            "WHEN 1 THEN 'http://abs' || CAST(doc_id AS VARCHAR) || '.com/p' "
+            "WHEN 2 THEN '//cdn' || CAST(doc_id AS VARCHAR) || '.com/x.js' "
+            "WHEN 3 THEN '/r/' || CAST(doc_id AS VARCHAR) "
+            "WHEN 4 THEN '?q=' || CAST(doc_id AS VARCHAR) "
+            "WHEN 5 THEN 'p' || CAST(doc_id AS VARCHAR) || '.html' "
+            "ELSE '../u' || CAST(doc_id AS VARCHAR) END AS href, "
+            "CASE CAST(doc_id % 7 AS INT) "
+            "WHEN 0 THEN 'ftp://ext' || CAST(doc_id AS VARCHAR) || '.com/f' "
+            "WHEN 1 THEN 'http://abs' || CAST(doc_id AS VARCHAR) || '.com/p' "
+            "WHEN 2 THEN 'http://cdn' || CAST(doc_id AS VARCHAR) || '.com/x.js' "
+            "WHEN 3 THEN 'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.com/r/' || CAST(doc_id AS VARCHAR) "
+            "WHEN 4 THEN 'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.com/a/b/c.html?q=' || CAST(doc_id AS VARCHAR) "
+            "WHEN 5 THEN 'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.com/a/b/p' || CAST(doc_id AS VARCHAR) || '.html' "
+            "ELSE 'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.com/a/u' || CAST(doc_id AS VARCHAR) END AS link "
+            "FROM documents WHERE doc_id < 700"
         ),
         "q_cdx_surt": (
             "WITH c AS (SELECT doc_id, "

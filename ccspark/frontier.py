@@ -135,6 +135,7 @@ class FrontierConfig:
         capacity_per_partition: int | None = None,
         max_frontier_per_host: int | None = None,
         cluster_link_gate: bool | None = None,
+        broadcast_robots: bool | None = None,
     ):
         self.num_partitions = num_partitions
         self.universe_n = universe_n
@@ -155,6 +156,13 @@ class FrontierConfig:
         # (one delta-sized Exchange) first.  None = auto: cluster when
         # the filter state is past broadcast size (a big crawl).
         self.cluster_link_gate = cluster_link_gate
+        # robots rules ride a broadcast join while the table is small;
+        # at web scale (10^8+ hosts) the rules won't fit an executor —
+        # auto-switch to the shuffle join (the gate keys on host, so the
+        # politeness windows reuse the same clustering)
+        self.broadcast_robots = (
+            broadcast_robots if broadcast_robots is not None else self.n_hosts <= 2_000_000
+        )
         # fixed bloom capacity → per-round delta build + bitwise-OR merge
         self.capacity_per_partition = capacity_per_partition or max(
             4 * universe_n // num_partitions, 1024
@@ -380,6 +388,7 @@ class CrawlFrontier:
             cfg.default_budget,
             cfg.round_duration_ms,
             cfg.n_salts,
+            broadcast_robots=cfg.broadcast_robots,
         )
         sched_cols = [
             "round",

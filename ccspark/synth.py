@@ -236,7 +236,7 @@ def gen_seeds(spark, n: int, n_hosts: int | None = None, seed: int = 42):
     def _gen(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            ids = ids[ids % 23 == 0]
+            ids = ids[ids % 23 == 0]  # no-op on the stepped range; kept as a guard
             if len(ids) == 0:
                 yield pd.DataFrame({"url": pd.Series(dtype=object), "priority": pd.Series(dtype=np.float64)})
                 continue
@@ -246,7 +246,11 @@ def gen_seeds(spark, n: int, n_hosts: int | None = None, seed: int = 42):
             pr = (_rand(ids, 9, seed) % np.uint64(1000)).astype(np.float64) / 1000.0
             yield pd.DataFrame({"url": urls.to_numpy(), "priority": pr})
 
-    return spark.range(n).mapInPandas(_gen, schema="url string, priority double")
+    # generate ONLY the seed ids (every 23rd) instead of streaming the
+    # whole universe through Arrow and filtering — 23× less boundary
+    # traffic; identical output (the 10^8 endurance bootstrap was 303 s,
+    # almost all of it range-scan)
+    return spark.range(0, n, 23).mapInPandas(_gen, schema="url string, priority double")
 
 
 def gen_robots_pdf(n_hosts: int, seed: int = 42) -> pd.DataFrame:
