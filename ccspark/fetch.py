@@ -1,0 +1,147 @@
+"""Real HTTP fetch stage: the production counterpart of the frontier's
+deterministic fetch simulation.
+
+``CrawlFrontier(expand_fn=fetch.make_expand_fn(...))`` turns the crawl
+loop into a live crawler: scheduled URLs are fetched over HTTP
+(stdlib urllib — no third-party deps), out-links extracted with the
+Catalyst href regexp and resolved through the byte-matrix RFC 3986
+resolver, and the discovered raw (url, priority) rows flow back into
+the frontier's canonical identity kernel like every other URL.
+
+Scale/politeness shape:
+* fetching is network-bound per-row work inside ``mapInPandas`` — the
+  executor parallelism IS the connection parallelism; ``delay_ms``
+  sleeps between requests of the same task, and clustering the input
+  by ``domain_hash`` (``partition_by_host``) serializes any one host's
+  requests within one task, so per-host request spacing is
+  delay-bounded no matter how many executors run.  The frontier's
+  politeness gate has already enforced robots + per-round budgets
+  BEFORE rows reach the fetcher.
+* responses are size-capped (``max_bytes``) and status/type/error are
+  carried as columns — hostile servers can't balloon executor memory,
+  and fetch failures land as data, not exceptions.
+* HTML is interpreted as UTF-8 (lossy) for link extraction; the full
+  charset-detection decode path (ccspark.text) is for content
+  processing, where bytes are preserved.
+
+The reference's fetcher lives out-of-tree (its crawler service); this
+module stands in the same spot its ArcFileItem producers did —
+SURVEY.md's justified-external fetch stage made pluggable and local.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FETCH_COLS = "status int, content_type string, html binary, fetch_err string"
+
+
+def fetch_batch(
+    urls,
+    timeout: float = 10.0,
+    max_bytes: int = 1 << 20,
+    user_agent: str = "ccspark-crawler/0.1",
+    delay_ms: int = 0,
+) -> pd.DataFrame:
+    """Fetch each URL; returns (status, content_type, html, fetch_err)
+    aligned with the input.  HTTP errors are DATA (status + empty body);
+    transport errors land in fetch_err; bodies are truncated at
+    ``max_bytes`` (recorded in fetch_err as 'truncated')."""
+    import time
+    import urllib.error
+    import urllib.request
+
+    status, ctype, body_col, err = [], [], [], []
+    for i, u in enumerate(urls):
+        if delay_ms and i:
+            time.sleep(delay_ms / 1000.0)
+        try:
+            req = urllib.request.Request(str(u), headers={"User-Agent": user_agent})
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                body = r.read(max_bytes + 1)
+                trunc = len(body) > max_bytes
+                status.append(int(getattr(r, "status", 200)))
+                ctype.append(r.headers.get("Content-Type"))
+                body_col.append(bytes(body[:max_bytes]))
+                err.append("truncated" if trunc else None)
+        except urllib.error.HTTPError as ex:
+            status.append(int(ex.code))
+            ctype.append(ex.headers.get("Content-Type") if ex.headers else None)
+            body_col.append(b"")
+            err.append(None)
+        except Exception as ex:  # noqa: BLE001 — fetch failures are data
+            status.append(None)
+            ctype.append(None)
+            body_col.append(None)
+            err.append(f"{type(ex).__name__}: {ex}")
+    return pd.DataFrame(
+        {"status": pd.array(status, dtype="Int32"), "content_type": ctype,
+         "html": body_col, "fetch_err": err}
+    )
+
+
+def fetch_pages(
+    df: DataFrame,
+    url_col: str = "url",
+    partition_by_host: bool = True,
+    **fetch_kw,
+) -> DataFrame:
+    """Fetch every row's URL, appending the FETCH_COLS columns.  With
+    ``partition_by_host`` (and a ``domain_hash`` column present) rows
+    are clustered so one task owns each host — per-host request
+    serialization regardless of cluster size."""
+    if partition_by_host and "domain_hash" in df.columns:
+        df = df.repartition("domain_hash")
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+
+    def _fetch(batches):
+        for pdf in batches:
+            fetched = fetch_batch(pdf[url_col], **fetch_kw)
+            yield pd.concat(
+                [pdf.reset_index(drop=True), fetched.reset_index(drop=True)], axis=1
+            )
+
+    return df.mapInPandas(_fetch, schema=f"{in_schema}, {FETCH_COLS}")
+
+
+def make_expand_fn(
+    priority_decay: float = 0.8,
+    partition_by_host: bool = True,
+    **fetch_kw,
+):
+    """Build a CrawlFrontier ``expand_fn``: scheduled rows → live fetch
+    → href extraction (Catalyst regexp) → RFC 3986 resolution
+    (byte-matrix kernel) → raw (url, priority) discoveries."""
+
+    def expand(scheduled: DataFrame) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        from . import links
+
+        pages = fetch_pages(
+            scheduled, partition_by_host=partition_by_host, **fetch_kw
+        ).filter("status = 200 AND html IS NOT NULL")
+        pages = pages.select(
+            F.col("url").alias("page_url"),
+            (F.col("priority") * priority_decay).alias("priority"),
+            F.col("html").cast("string").alias("html_str"),
+        )
+        hrefs = links.extract_hrefs(pages, "page_url", "html_str")
+        hrefs = hrefs.join(
+            pages.select(F.col("page_url").alias("url"), "priority"), "url"
+        )
+
+        def _resolve_fn(base, href):
+            return links.resolve_batch(base, href)
+
+        resolve = pandas_udf(_resolve_fn, "string")
+        return (
+            hrefs.select(
+                resolve(F.col("url"), F.col("href")).alias("url"), "priority"
+            )
+            .filter(F.col("url").isNotNull())
+        )
+
+    return expand
