@@ -838,24 +838,30 @@ def _encode_ac_band(bw: _BitWriter, blk: np.ndarray, ac_codes) -> None:
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, quant: np.ndarray | None = None, subsample_420: bool = False
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample_420: bool = False,
+    samp_y: tuple[int, int] | None = None,
 ) -> bytes:
     """uint8 H×W (gray) or H×W×3 (RGB) → PROGRESSIVE JFIF (SOF2),
     spectral-selection scan script: one interleaved DC scan (Al=0), then
     one full-band AC scan per component (Ss=1, Se=63, Al=0).  The
     quantized coefficients are identical to the sequential encoders',
     so the decode must match decode(encode_jpeg(...)) exactly — the
-    oracle the progressive-decode tests use.  ``subsample_420``
-    additionally exercises the non-interleaved true-block-grid path for
-    subsampled components."""
+    oracle the progressive-decode tests use.  ``subsample_420`` (or an
+    explicit Y sampling factor ``samp_y``, e.g. (2, 1) for 4:2:2)
+    additionally exercises the non-interleaved true-block-grid and
+    axis-wise upsampling paths for subsampled components."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     q = _FLAT_Q8 if quant is None else np.asarray(quant, dtype=np.int32)
     h, w = img.shape[:2]
+    if subsample_420:
+        samp_y = (2, 2)
 
     if gray:
-        if subsample_420:
-            raise ValueError("4:2:0 needs RGB")
+        if samp_y:
+            raise ValueError("subsampling needs RGB")
         planes = [img.astype(np.float64)]
         samp = [(1, 1)]
     else:
@@ -866,7 +872,7 @@ def encode_jpeg_progressive(
         cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
         cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
         planes = [yy, cb, cr]
-        samp = [(2, 2), (1, 1), (1, 1)] if subsample_420 else [(1, 1)] * 3
+        samp = [samp_y, (1, 1), (1, 1)] if samp_y else [(1, 1)] * 3
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)

@@ -299,6 +299,24 @@ def test_jpeg_progressive_420_odd_size():
     assert np.array_equal(seq[3], prog[3])
 
 
+def test_jpeg_422_and_411_sampling():
+    """Asymmetric chroma subsampling (4:2:2 h-only, 4:1:1) through the
+    progressive encoder: constant color is DC-only → exact roundtrip,
+    exercising the axis-wise upsampling and odd-size crop paths."""
+    import numpy as np
+
+    from ccspark import jpeg
+
+    img = np.zeros((37, 53, 3), np.uint8)
+    img[:, :, 0], img[:, :, 1], img[:, :, 2] = 200, 100, 50
+    for samp in ((2, 1), (4, 1), (1, 2)):
+        w, h, c, out = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, samp_y=samp)
+        )
+        assert (w, h, c) == (53, 37, 3)
+        assert np.array_equal(out, img), samp
+
+
 def test_jpeg_progressive_successive_approximation():
     """Handcrafted 4-scan successive-approximation stream (DC first
     Al=1, AC first Al=1, DC refine, AC refine with EOB correction
