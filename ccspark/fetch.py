@@ -106,6 +106,53 @@ def fetch_pages(
     return df.mapInPandas(_fetch, schema=f"{in_schema}, {FETCH_COLS}")
 
 
+def fetch_robots(
+    spark,
+    urls,
+    agent: str = "*",
+    timeout: float = 10.0,
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Fetch and parse each host's live robots.txt → the politeness
+    rules table (host, disallow_prefixes, crawl_delay_ms,
+    max_fetches_per_round), directly pluggable into
+    ``CrawlFrontier(robots_df=...)``.  ``urls`` is any iterable of
+    URLs or hosts; one request per unique host, driver-side (a seed
+    list's host set is small; per-round discovered-host refresh can
+    re-call this and union).  Hosts whose robots.txt is unreachable or
+    non-200 default-allow per RFC 9309 §2.3.1.3 (no row)."""
+    from urllib.parse import urlsplit
+
+    from . import politeness
+
+    hosts = []
+    seen = set()
+    for u in urls:
+        u = str(u)
+        netloc = urlsplit(u if "://" in u else f"http://{u}").netloc
+        if netloc and netloc not in seen:
+            seen.add(netloc)
+            hosts.append(netloc)
+    rows = []
+    fetched = fetch_batch(
+        pd.Series([f"http://{h}/robots.txt" for h in hosts]), timeout=timeout
+    )
+    for host, (_, r) in zip(hosts, fetched.iterrows()):
+        if pd.isna(r["status"]) or int(r["status"]) != 200 or r["html"] is None:
+            continue  # unreachable/absent robots → default-allow
+        try:
+            text = bytes(r["html"]).decode("utf-8", "replace")
+        except Exception:  # noqa: BLE001
+            continue
+        prefixes, delay_ms = politeness.parse_robots_txt(text, agent)
+        rows.append((host.split(":")[0], prefixes, delay_ms, default_budget))
+    return spark.createDataFrame(
+        rows or [],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long, "
+        "max_fetches_per_round int",
+    )
+
+
 def make_expand_fn(
     priority_decay: float = 0.8,
     partition_by_host: bool = True,

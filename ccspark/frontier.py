@@ -195,6 +195,7 @@ class CrawlFrontier:
         cfg: FrontierConfig | None = None,
         checkpoint=None,
         expand_fn=None,
+        robots_df=None,
     ):
         """``ckpt_dir`` may be a filesystem path (parquet-emulation
         backend) or ``iceberg:<catalog>.<namespace>`` (real Iceberg
@@ -207,13 +208,19 @@ class CrawlFrontier:
         simulation; its output goes through the same fused
         canonicalize+fingerprint identity as every other URL.  The
         default simulation is what keeps the pure-Python replay oracle
-        exact."""
+        exact.
+
+        ``robots_df`` overrides the synthetic robots table with real
+        rules (e.g. fetch.fetch_robots over the seed hosts) — same
+        (host, disallow_prefixes, crawl_delay_ms, max_fetches_per_round)
+        schema."""
         from .catalog import make_checkpoint
 
         self.spark = spark
         self.cfg = cfg or FrontierConfig()
         self.ckpt = checkpoint or make_checkpoint(spark, ckpt_dir)
         self.expand_fn = expand_fn
+        self._robots_df = robots_df
 
     # -- plumbing ---------------------------------------------------------
 

@@ -29,7 +29,16 @@ def site(tmp_path_factory):
         '<html><a href="/sub/p3.html">three</a>'
         '<a href="http://127.0.0.1:1/external">dead</a></html>'
     )
-    (root / "p2.html").write_text('<html><a href="sub/p3.html">three</a></html>')
+    (root / "p2.html").write_text(
+        '<html><a href="sub/p3.html">three</a>'
+        '<a href="/private/secret.html">nope</a></html>'
+    )
+    priv = root / "private"
+    priv.mkdir()
+    (priv / "secret.html").write_text("<html>should never be scheduled</html>")
+    (root / "robots.txt").write_text(
+        "User-agent: *\nDisallow: /private/\nCrawl-delay: 1\n"
+    )
     sub = root / "sub"
     sub.mkdir()
     (sub / "p3.html").write_text("<html>leaf — no links</html>")
@@ -74,6 +83,39 @@ def test_fetch_pages_dataframe(spark, site):
     assert all("priority" in r.asDict() for r in got)  # input columns carried
 
 
+def test_fetch_robots_parses_live_rules(spark, site):
+    rules = fetch.fetch_robots(spark, [f"{site}/index.html"], timeout=5).collect()
+    assert len(rules) == 1
+    r = rules[0]
+    assert r["host"] == "127.0.0.1"
+    assert r["disallow_prefixes"] == ["/private/"]
+    assert r["crawl_delay_ms"] == 1000
+    # a host with no robots.txt server → empty table (default-allow)
+    assert fetch.fetch_robots(spark, ["http://127.0.0.1:1/x"], timeout=2).count() == 0
+
+
+def test_live_crawl_respects_live_robots(spark, site, tmp_path):
+    """End-to-end: the crawl fetches the site's real robots.txt and the
+    politeness gate retires /private/ URLs instead of scheduling them."""
+    from ccspark.frontier import CrawlFrontier, FrontierConfig
+
+    fr = CrawlFrontier(
+        spark,
+        str(tmp_path / "ckpt"),
+        FrontierConfig(num_partitions=4, universe_n=1000, n_hosts=10, default_budget=10, n_salts=2),
+        expand_fn=fetch.make_expand_fn(timeout=5),
+        robots_df=fetch.fetch_robots(spark, [f"{site}/index.html"], timeout=5),
+    )
+    seeds = spark.createDataFrame([(f"{site}/index.html", 1.0)], "url string, priority double")
+    metrics = fr.run(seeds, 4)
+    scheduled = {r["canonical_url"] for r in fr.read_trace(len(metrics)).collect()}
+    assert not any("/private/" in u for u in scheduled)
+    assert any(u.endswith("/p2.html") for u in scheduled)
+    # the disallowed URL was DISCOVERED and retired (in seen, not scheduled)
+    seen_n = fr.read_seen(len(metrics)).count()
+    assert seen_n == len(scheduled) + 1
+
+
 def test_live_crawl_end_to_end(spark, site, tmp_path):
     """The frontier crawls the real site: fetch → href extraction →
     RFC 3986 resolution → canonical identity → politeness →
@@ -106,8 +148,15 @@ def test_live_crawl_end_to_end(spark, site, tmp_path):
         by_round.setdefault(rnd, set()).add(url.rsplit("/", 1)[-1] or url)
     assert by_round[1] == {"index.html"}
     assert by_round[2] == {"p1.html", "p2.html"}
-    # round 3: the leaf + the dead external link (scheduled, fetch fails as data)
-    assert {u.rsplit("/", 1)[-1] for u in by_round[3]} == {"p3.html", "external"}
+    # round 3: the leaf, the dead external link (scheduled; fetch fails
+    # as data), and /private/secret.html — NO robots table was given, so
+    # nothing retires it (test_live_crawl_respects_live_robots is the
+    # robots-enforced counterpart)
+    assert {u.rsplit("/", 1)[-1] for u in by_round[3]} == {
+        "p3.html",
+        "external",
+        "secret.html",
+    }
     # drained: no round 4 schedules anything
     assert 4 not in by_round
     assert metrics[-1]["frontier_size"] == 0
