@@ -136,6 +136,8 @@ class FrontierConfig:
         max_frontier_per_host: int | None = None,
         cluster_link_gate: bool | None = None,
         broadcast_robots: bool | None = None,
+        revisit_after: int | None = None,
+        revisit_decay: float = 0.5,
     ):
         self.num_partitions = num_partitions
         self.universe_n = universe_n
@@ -163,6 +165,15 @@ class FrontierConfig:
         self.broadcast_robots = (
             broadcast_robots if broadcast_robots is not None else self.n_hosts <= 2_000_000
         )
+        # revisit scheduling (recrawl): URLs scheduled in round r re-enter
+        # the candidate stream at round r + revisit_after with decayed
+        # priority, INJECTED AFTER the novelty gate (they are in the seen
+        # set by design — the gate's semantics stay exact for discovery).
+        # Revisits compete under the same robots/budget politeness; a
+        # revisit squeezed out by budget skips that cycle (each processed
+        # round is re-offered exactly once).  None = no recrawl.
+        self.revisit_after = revisit_after
+        self.revisit_decay = revisit_decay
         # fixed bloom capacity → per-round delta build + bitwise-OR merge
         self.capacity_per_partition = capacity_per_partition or max(
             4 * universe_n // num_partitions, 1024
@@ -342,7 +353,10 @@ class CrawlFrontier:
             n_candidates = int(prev_manifest["frontier_size"])
         else:
             n_candidates = ckpt.read(spark, "frontier", prev).count()
-        if n_candidates == 0:
+        # a drained frontier still runs the round when a recrawl cycle is
+        # due — revisits are injected after the gate and need no frontier
+        revisit_due = bool(cfg.revisit_after) and round_no - cfg.revisit_after >= 1
+        if n_candidates == 0 and not revisit_due:
             # nothing to do: carry frontier+filters forward driver-side
             # (byte-identical copies — no Spark jobs at all)
             ckpt.copy_round("frontier", prev, round_no)
@@ -355,7 +369,16 @@ class CrawlFrontier:
                 "scheduled": 0,
                 "frontier_size": 0,
             }
-        frontier = ckpt.read(spark, "frontier", prev)
+        if n_candidates == 0:
+            # recrawl-only round: an empty partitioned write has no data
+            # files to infer a schema from — build the empty frame directly
+            frontier = spark.createDataFrame(
+                [],
+                "url string, canonical_url string, domain_hash long, url_hash long, "
+                "root_domain_hash long, priority double, discovered_round int",
+            )
+        else:
+            frontier = ckpt.read(spark, "frontier", prev)
 
         # novelty gate: bloom/cuckoo pre-screen + exact confirm.  The
         # frontier table is stored partition-clustered, so the storage
@@ -383,6 +406,26 @@ class CrawlFrontier:
             ).select(*FRONTIER_COLS)
         novel = gated.observe(obs_novel, F.count(F.lit(1)).alias("n")).cache()
 
+        # revisit injection (recrawl): the round processed revisit_after
+        # rounds ago re-enters the candidate stream AFTER the gate (those
+        # identities are seen — bypassing the gate is the point), with
+        # decayed priority, under the same politeness as everything else.
+        candidates_in = novel
+        if cfg.revisit_after and round_no - cfg.revisit_after >= 1:
+            src_round = round_no - cfg.revisit_after
+            proc_src = ckpt.read(spark, "processed", src_round)
+            if "root_domain_hash" in proc_src.columns:
+                revisit = proc_src.filter(F.col("host_rank").isNotNull()).select(
+                    "url",
+                    "canonical_url",
+                    "domain_hash",
+                    "url_hash",
+                    "root_domain_hash",
+                    (F.col("priority") * cfg.revisit_decay).alias("priority"),
+                    F.lit(round_no).alias("discovered_round"),
+                )
+                candidates_in = novel.unionByName(revisit.select(*FRONTIER_COLS))
+
         # politeness: robots + budgets + salted per-host rank, ONE linear
         # plan producing the round's processed table = scheduled rows
         # (host_rank 1..budget) ∪ robots-retired rows (host_rank NULL,
@@ -390,7 +433,7 @@ class CrawlFrontier:
         # round).  The seen delta is exactly this table's identity
         # columns, so it needs no write of its own.
         proc_df = politeness.process_round(
-            novel,
+            candidates_in,
             self._robots(),
             cfg.default_budget,
             cfg.round_duration_ms,
@@ -405,6 +448,7 @@ class CrawlFrontier:
             "canonical_url",
             "domain_hash",
             "url_hash",
+            "root_domain_hash",  # keeps processed rows frontier-shaped (revisit source)
             "priority",
         ]
         obs_proc = Observation(f"proc_{round_no}")

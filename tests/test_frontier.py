@@ -201,6 +201,45 @@ def test_frontier_against_iceberg_catalog(tmp_path):
         pass  # session shared-ish; leave running
 
 
+def test_revisit_scheduling(spark, tmp_path):
+    """Recrawl: with revisit_after=2, every URL scheduled in round r is
+    re-offered (and, with generous budgets, re-scheduled) in round r+2
+    at decayed priority; robots-retired URLs are never revisited; the
+    discovery trace of rounds without a due cycle is unchanged."""
+    cfg = FrontierConfig(
+        num_partitions=8,
+        universe_n=UNIVERSE,
+        n_hosts=N_HOSTS,
+        seed=SEED,
+        links_per_fetch=LINKS,
+        default_budget=500,  # budgets never bind → revisit set is exact
+        round_duration_ms=ROUND_MS,
+        n_salts=4,
+        revisit_after=2,
+    )
+    # empty robots: no crawl-delay/caps, so every due revisit schedules
+    empty_robots = spark.createDataFrame(
+        [],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long, "
+        "max_fetches_per_round int",
+    )
+    ckpt = str(tmp_path / "ckpt_revisit")
+    fr = CrawlFrontier(spark, ckpt, cfg, robots_df=empty_robots)
+    fr.run(synth.gen_seeds(spark, UNIVERSE, N_HOSTS, SEED), 4)
+    rows = fr.read_trace(4).collect()
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["round"], set()).add(r["canonical_url"])
+    # rounds 3 and 4 re-schedule EVERYTHING from rounds 1 and 2
+    assert by_round[1] <= by_round[3]
+    assert by_round[2] <= by_round[4]
+    # a revisited row carries decayed priority
+    p1 = {r["canonical_url"]: r["priority"] for r in rows if r["round"] == 1}
+    p3 = {r["canonical_url"]: r["priority"] for r in rows if r["round"] == 3}
+    assert set(p1) <= set(p3)
+    assert all(abs(p3[u] - p1[u] * 0.5) < 1e-12 for u in p1)
+
+
 def test_frontier_per_host_cap(spark, tmp_path):
     """max_frontier_per_host priority-evicts hot hosts' queues every
     round; the cap holds in every checkpointed frontier and the run is
