@@ -41,6 +41,9 @@ def main() -> int:
     ap.add_argument("--filter", choices=["bloom", "cuckoo"], default="bloom")
     ap.add_argument("--max-per-host", type=int, default=None,
                     help="frontier cap per host (priority eviction)")
+    ap.add_argument("--revisit-after", type=int, default=None,
+                    help="recrawl scheduled URLs after this many rounds")
+    ap.add_argument("--revisit-decay", type=float, default=0.5)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -61,6 +64,8 @@ def main() -> int:
         n_salts=args.salts,
         filter_kind=args.filter,
         max_frontier_per_host=args.max_per_host,
+        revisit_after=args.revisit_after,
+        revisit_decay=args.revisit_decay,
     )
     fr = CrawlFrontier(spark, args.ckpt, cfg)
     resumed = fr.ckpt.last_committed_round()
