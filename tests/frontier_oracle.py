@@ -46,9 +46,23 @@ def _identify(url_list, priorities, round_no, frontier=None):
     return out
 
 
-def replay(universe_n, n_hosts, seed, num_rounds, default_budget, round_ms, links_per_fetch):
+def replay(
+    universe_n,
+    n_hosts,
+    seed,
+    num_rounds,
+    default_budget,
+    round_ms,
+    links_per_fetch,
+    revisit_after=None,
+    revisit_decay=0.5,
+):
     """Returns (trace, seen): trace = set of (round, host, host_rank,
-    canonical_url); seen = set of (domain_hash, url_hash)."""
+    canonical_url); seen = set of (domain_hash, url_hash).
+
+    ``revisit_after`` mirrors FrontierConfig: round r's scheduled rows
+    re-enter the candidate pool at round r+revisit_after with decayed
+    priority, competing under the same robots/budget politeness."""
     import pandas as pd
 
     # seeds: ids % 23 == 0, urls + priorities as in synth.gen_seeds
@@ -67,12 +81,20 @@ def replay(universe_n, n_hosts, seed, num_rounds, default_budget, round_ms, link
     seen: set[tuple[int, int]] = set()
     trace: set[tuple[int, str, int, str]] = set()
 
+    sched_by_round: dict[int, list] = {}
+
     for rnd in range(1, num_rounds + 1):
         novel = {k: v for k, v in frontier.items() if k not in seen}
+        candidates = dict(novel)
+        if revisit_after and rnd - revisit_after >= 1:
+            # revisit injection: seen identities by design, so they are
+            # disjoint from novel; decayed priority, rediscovered now
+            for dh, uh, url, canon, pri in sched_by_round.get(rnd - revisit_after, []):
+                candidates[(dh, uh)] = (url, canon, pri * revisit_decay, rnd)
         # group by host
         by_host: dict[str, list] = {}
         excluded: set[tuple[int, int]] = set()
-        for (dh, uh), (url, canon, pri, drnd) in novel.items():
+        for (dh, uh), (url, canon, pri, drnd) in candidates.items():
             host, path = _host_path(canon)
             rule = robots.get(host)
             if rule is not None and any(path.startswith(p) for p in rule[0]):
@@ -103,6 +125,9 @@ def replay(universe_n, n_hosts, seed, num_rounds, default_budget, round_ms, link
         for dh, uh, *_ in scheduled:
             seen.add((dh, uh))
         seen |= excluded
+        sched_by_round[rnd] = [
+            (dh, uh, url, canon, pri) for dh, uh, url, canon, pri, _h, _r in scheduled
+        ]
         # links
         link_urls, link_pris = [], []
         for dh, uh, url, canon, pri, host, rank in scheduled:

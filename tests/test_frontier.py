@@ -240,6 +240,28 @@ def test_revisit_scheduling(spark, tmp_path):
     assert all(abs(p3[u] - p1[u] * 0.5) < 1e-12 for u in p1)
 
 
+def test_revisit_trace_matches_oracle(spark, tmp_path):
+    """Revisit scheduling under FULL politeness (robots, crawl-delay
+    budgets, caps) equals the pure-Python replay oracle's recrawl
+    semantics — budget-squeezed revisits and all."""
+    cfg = _cfg()
+    cfg.revisit_after = 2
+    ckpt = str(tmp_path / "ckpt_rv_oracle")
+    fr = CrawlFrontier(spark, ckpt, cfg)
+    fr.run(synth.gen_seeds(spark, UNIVERSE, N_HOSTS, SEED), 4)
+    rows = fr.read_trace(4).collect()
+    got = {(r["round"], r["host"], r["host_rank"], r["canonical_url"]) for r in rows}
+    exp, _ = replay(
+        UNIVERSE, N_HOSTS, SEED, 4, BUDGET, ROUND_MS, LINKS, revisit_after=2
+    )
+    missing = exp - got
+    extra = got - exp
+    assert not missing and not extra, (
+        f"{len(missing)} missing, {len(extra)} extra; "
+        f"e.g. missing={sorted(missing)[:3]} extra={sorted(extra)[:3]}"
+    )
+
+
 def test_frontier_per_host_cap(spark, tmp_path):
     """max_frontier_per_host priority-evicts hot hosts' queues every
     round; the cap holds in every checkpointed frontier and the run is
