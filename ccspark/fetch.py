@@ -125,13 +125,18 @@ def fetch_robots(
 
     from . import politeness
 
+    # politeness keys on the PORTLESS host (with_host_and_path), and the
+    # rules table carries a hard one-row-per-host invariant (a duplicate
+    # host row fans out the schedule join) — so dedupe on the portless
+    # host here; the first netloc seen wins the robots fetch
     hosts = []
     seen = set()
     for u in urls:
         u = str(u)
         netloc = urlsplit(u if "://" in u else f"http://{u}").netloc
-        if netloc and netloc not in seen:
-            seen.add(netloc)
+        key = netloc.split(":")[0]
+        if key and key not in seen:
+            seen.add(key)
             hosts.append(netloc)
     rows = []
     fetched = fetch_batch(
@@ -175,10 +180,10 @@ def make_expand_fn(
             (F.col("priority") * priority_decay).alias("priority"),
             F.col("html").cast("string").alias("html_str"),
         )
-        hrefs = links.extract_hrefs(pages, "page_url", "html_str")
-        hrefs = hrefs.join(
-            pages.select(F.col("page_url").alias("url"), "priority"), "url"
-        )
+        # ONE linear plan: priority rides through the href explode
+        # (carry=) — a self-join back to `pages` would recompute the
+        # fetch subtree per branch and issue every HTTP request twice
+        hrefs = links.extract_hrefs(pages, "page_url", "html_str", carry=["priority"])
 
         def _resolve_fn(base, href):
             return links.resolve_batch(base, href)

@@ -354,9 +354,32 @@ class CrawlFrontier:
         else:
             n_candidates = ckpt.read(spark, "frontier", prev).count()
         # a drained frontier still runs the round when a recrawl cycle is
-        # due — revisits are injected after the gate and need no frontier
+        # due AND its source round actually has scheduled rows — an
+        # all-empty round must take the copy-forward path (an empty
+        # LocalRelation collapses the plan and prunes the CollectMetrics
+        # nodes the Observations hang off), and the source may be absent
+        # entirely (empty rounds write no processed table)
         revisit_due = bool(cfg.revisit_after) and round_no - cfg.revisit_after >= 1
-        if n_candidates == 0 and not revisit_due:
+        revisit_src = None
+        if revisit_due:
+            src_round = round_no - cfg.revisit_after
+            readable = True
+            if root is not None:  # cheap files-first probe, no JVM exception noise
+                src_dir = ckpt.table_dir("processed", src_round)
+                readable = os.path.isdir(src_dir) and Checkpoint._has_parquet(src_dir)
+            if readable:
+                try:
+                    df_src = ckpt.read(spark, "processed", src_round)
+                    if "root_domain_hash" in df_src.columns:
+                        revisit_src = df_src.filter(F.col("host_rank").isNotNull())
+                except Exception:  # noqa: BLE001 — missing/file-less round
+                    revisit_src = None
+        if n_candidates == 0 and revisit_src is not None:
+            # cheap probe (tiny job, only on drained rounds): a source
+            # with zero scheduled rows means nothing to revisit either
+            if revisit_src.limit(1).count() == 0:
+                revisit_src = None
+        if n_candidates == 0 and revisit_src is None:
             # nothing to do: carry frontier+filters forward driver-side
             # (byte-identical copies — no Spark jobs at all)
             ckpt.copy_round("frontier", prev, round_no)
@@ -411,20 +434,17 @@ class CrawlFrontier:
         # identities are seen — bypassing the gate is the point), with
         # decayed priority, under the same politeness as everything else.
         candidates_in = novel
-        if cfg.revisit_after and round_no - cfg.revisit_after >= 1:
-            src_round = round_no - cfg.revisit_after
-            proc_src = ckpt.read(spark, "processed", src_round)
-            if "root_domain_hash" in proc_src.columns:
-                revisit = proc_src.filter(F.col("host_rank").isNotNull()).select(
-                    "url",
-                    "canonical_url",
-                    "domain_hash",
-                    "url_hash",
-                    "root_domain_hash",
-                    (F.col("priority") * cfg.revisit_decay).alias("priority"),
-                    F.lit(round_no).alias("discovered_round"),
-                )
-                candidates_in = novel.unionByName(revisit.select(*FRONTIER_COLS))
+        if revisit_src is not None:
+            revisit = revisit_src.select(
+                "url",
+                "canonical_url",
+                "domain_hash",
+                "url_hash",
+                "root_domain_hash",
+                (F.col("priority") * cfg.revisit_decay).alias("priority"),
+                F.lit(round_no).alias("discovered_round"),
+            )
+            candidates_in = novel.unionByName(revisit.select(*FRONTIER_COLS))
 
         # politeness: robots + budgets + salted per-host rank, ONE linear
         # plan producing the round's processed table = scheduled rows
@@ -685,10 +705,19 @@ class CrawlFrontier:
             "frontier_size": n_frontier,
         }
 
-    def run(self, seeds: DataFrame | None, num_rounds: int) -> list[dict]:
+    def run(self, seeds: DataFrame | None, num_rounds: int, on_round=None) -> list[dict]:
         """Run/resume the crawl.  If a committed manifest exists, resume
         after its round (idempotent; a killed job re-runs only the
-        uncommitted round)."""
+        uncommitted round).  Each metrics dict carries the round's wall
+        time; ``on_round(m)`` fires after every round (live progress for
+        job drivers — keeps the loop/termination logic in ONE place).
+
+        Termination: an idle round (nothing scheduled, empty frontier)
+        ends the crawl UNLESS a future revisit cycle can still produce
+        work — with revisit_after=k the loop idles forward until k
+        rounds past the last round that scheduled anything."""
+        import time as _time
+
         last = self.ckpt.last_committed_round()
         if last is None:
             assert seeds is not None, "first run needs a seed list"
@@ -697,9 +726,23 @@ class CrawlFrontier:
         else:
             self.ckpt.drop_rounds_after(last)
         metrics = []
+        # conservative resume assumption: the resume round may have
+        # scheduled work, so revisit idling extends k rounds past it
+        last_sched = last
         for r in range(last + 1, last + 1 + num_rounds):
+            t0 = _time.time()
             m = self.run_round(r)
+            m["wall_s"] = round(_time.time() - t0, 2)
             metrics.append(m)
-            if m["scheduled"] == 0 and m.get("frontier_size", 0) == 0:
+            if on_round is not None:
+                on_round(m)
+            if m["scheduled"] > 0:
+                last_sched = r
+            idle = m["scheduled"] == 0 and m.get("frontier_size", 0) == 0
+            revisit_pending = (
+                self.cfg.revisit_after is not None
+                and r < last_sched + self.cfg.revisit_after
+            )
+            if idle and not revisit_pending:
                 break
         return metrics

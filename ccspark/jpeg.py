@@ -513,6 +513,9 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, int, np.ndarray]:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional 0xFF fill bytes
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue

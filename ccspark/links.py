@@ -34,8 +34,14 @@ _HREF_RE = (
 )
 
 
-def extract_hrefs(df: DataFrame, url_col: str, html_col: str) -> DataFrame:
-    """(page url, html) → one row per raw href (pure Catalyst)."""
+def extract_hrefs(
+    df: DataFrame, url_col: str, html_col: str, carry: list[str] | None = None
+) -> DataFrame:
+    """(page url, html) → one row per raw href (pure Catalyst).
+    ``carry`` columns ride along unchanged — callers that need page
+    attributes per href (e.g. priority) avoid a self-join against the
+    page source, which matters when that source is expensive to
+    recompute (a live fetch)."""
     h = F.col(html_col)
     # the three alternation groups are mutually exclusive; regexp_extract_all
     # only takes one group index, so run the three quote forms separately
@@ -45,13 +51,16 @@ def extract_hrefs(df: DataFrame, url_col: str, html_col: str) -> DataFrame:
         F.regexp_extract_all(h, F.lit(_HREF_RE), F.lit(2)),
         F.regexp_extract_all(h, F.lit(_HREF_RE), F.lit(3)),
     )
-    out = df.select(F.col(url_col).alias("url"), F.explode(links).alias("href"))
+    carry = carry or []
+    out = df.select(
+        F.col(url_col).alias("url"), *carry, F.explode(links).alias("href")
+    )
     out = out.filter(F.col("href") != "")
     # entity-unescape the URL-relevant entities (JVM-side)
     href = F.col("href")
     for ent, rep in (("&amp;", "&"), ("&#38;", "&"), ("&quot;", '"'), ("&#39;", "'")):
         href = F.replace(href, F.lit(ent), F.lit(rep))
-    return out.select("url", href.alias("href"))
+    return out.select("url", *carry, href.alias("href"))
 
 
 _SKIP_PREFIXES = ("javascript:", "mailto:", "data:", "tel:")

@@ -73,24 +73,15 @@ def main() -> int:
     if resumed is not None:
         print(f"resuming after committed round {resumed}", file=sys.stderr)
 
-    t0 = time.time()
-    if resumed is None:
-        fr.bootstrap(seeds)
-        start = 0
-    else:
-        fr.ckpt.drop_rounds_after(resumed)
-        start = resumed
-    t_boot = time.time() - t0
-    metrics = []
-    for r in range(start + 1, start + 1 + args.rounds):
-        rt = time.time()
-        m = fr.run_round(r)
-        m["wall_s"] = round(time.time() - rt, 2)
-        metrics.append(m)
+    def _live(m):
         print(json.dumps(m), file=sys.stderr)  # live per-round record
-        if m["scheduled"] == 0 and m.get("frontier_size", 0) == 0:
-            break
+
+    # run() owns bootstrap/resume/termination (incl. revisit idling);
+    # the job only adds timing and live output
+    t0 = time.time()
+    metrics = fr.run(seeds, args.rounds, on_round=_live)
     wall = time.time() - t0
+    t_boot = max(0.0, wall - sum(m.get("wall_s", 0.0) for m in metrics))
     total_scheduled = sum(m["scheduled"] for m in metrics)
     total_candidates = sum(m["candidates"] for m in metrics)
     out = {

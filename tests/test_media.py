@@ -299,6 +299,23 @@ def test_jpeg_progressive_420_odd_size():
     assert np.array_equal(seq[3], prog[3])
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    the parser must skip them, not parse them as a marker + length."""
+    import numpy as np
+
+    from ccspark import jpeg
+
+    img = np.full((16, 16), 90, np.uint8)
+    enc = jpeg.encode_jpeg(img)
+    base = jpeg.decode_jpeg(enc)[3]
+    # inject fill bytes before the APP0 marker (right after SOI)
+    assert enc[:2] == b"\xff\xd8" and enc[2] == 0xFF
+    padded = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    got = jpeg.decode_jpeg(padded)[3]
+    assert np.array_equal(got, base)
+
+
 def test_jpeg_422_and_411_sampling():
     """Asymmetric chroma subsampling (4:2:2 h-only, 4:1:1) through the
     progressive encoder: constant color is DC-only → exact roundtrip,
