@@ -938,6 +938,74 @@ def q_link_resolve(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus-wide line dedup oracled: docs synthesized as
+    3 '|'-separated lines where the middle line is shared boilerplate
+    (5 variants across 500 docs); lines appearing in >2 documents are
+    dropped and documents rebuilt in order.  The oracle is a full
+    DuckDB reimplementation (string_split + distinct doc counts + list
+    comprehension rebuild)."""
+    from ccspark import textops
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 500")
+    d = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("doc"), d, F.lit(" "), F.substring("text", 1, 30),
+        F.lit("|boiler "), (F.col("doc_id") % 5).cast("string"),
+        F.lit("|tail "), d,
+    )
+    src = docs.select("doc_id", text.alias("text"))
+    out = textops.remove_repeated_lines(
+        src, "doc_id", "text", sep="|", max_occurrences=2
+    )
+    return out.select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Training-corpus PII redaction oracled: one planted email, IPv4,
+    and phone number per document, scrubbed to typed tokens with match
+    counts; patterns are lookaround-free so DuckDB runs them verbatim."""
+    from ccspark import textops
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 500")
+    d = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" u"), d, F.lit("@ex"), (F.col("doc_id") % 7).cast("string"), F.lit(".org"),
+        F.lit(" +1 555-"), (1000 + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" 10."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 200).cast("string"),
+    )
+    src = docs.select("doc_id", text.alias("text"))
+    out = textops.scrub_pii(src, "text")
+    return out.select("doc_id", "text", "n_email", "n_ip", "n_phone")
+
+
+def q_c4_gate(spark, sf_dir):
+    """C4-style document filter oracled: too-short, blocked-URL-term,
+    bad-word, and language gates with first-failing-reason semantics
+    (rule order is part of the contract)."""
+    from ccspark import textops
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 1000")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://h"), (d % 50).cast("string"), F.lit(".com/"),
+        F.when(d % 13 == 0, F.lit("casino/")).otherwise(F.lit("a/")),
+        d.cast("string"),
+    )
+    text = (
+        F.when(d % 11 == 0, F.lit("short text"))
+        .when(d % 7 == 0, F.concat(F.col("text"), F.lit(" lorem")))
+        .otherwise(F.col("text"))
+    )
+    src = docs.select("doc_id", text.alias("text"), url.alias("url"), "lang")
+    out = textops.c4_document_gate(
+        src, "text", url_col="url", lang_col="lang", min_words=5
+    )
+    return out.select("doc_id", "keep", "drop_reason")
+
+
 def q_cdx_surt(spark, sf_dir):
     """CDX/SURT index generation oracled: derived captures → SURT keys
     (lowercase, scheme/www-stripped, reversed comma-joined host labels)
@@ -1401,6 +1469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdx_surt": q_cdx_surt,
         "q_link_extract": q_link_extract,
         "q_link_resolve": q_link_resolve,
+        "q_line_dedup": q_line_dedup,
+        "q_pii_scrub": q_pii_scrub,
+        "q_c4_gate": q_c4_gate,
         "q_ewma": q_ewma,
     }
 
@@ -1601,6 +1672,52 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 3 THEN 'http://s' || k || '.example.com/up' || i "
             "ELSE 'https://ext' || e || '.com/p?a=1&b=2' END AS canonical_url, "
             "TRUE AS url_valid FROM f"
+        ),
+        "q_line_dedup": (
+            "WITH d AS (SELECT doc_id, 'doc' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 30) "
+            "|| '|boiler ' || CAST(doc_id % 5 AS VARCHAR) || '|tail ' || CAST(doc_id AS VARCHAR) AS t "
+            "FROM documents WHERE doc_id < 500), "
+            "freq AS (SELECT line FROM (SELECT DISTINCT doc_id, unnest(string_split(t, '|')) AS line FROM d) "
+            "GROUP BY line HAVING count(*) > 2), "
+            "fl AS (SELECT coalesce(list(line), []) AS bl FROM freq) "
+            "SELECT doc_id, "
+            "array_to_string([x for x in string_split(t, '|') if NOT list_contains(bl, x)], '|') AS text, "
+            "len([x for x in string_split(t, '|') if NOT list_contains(bl, x)]) AS n_lines_kept, "
+            "len(string_split(t, '|')) - len([x for x in string_split(t, '|') if NOT list_contains(bl, x)]) AS n_lines_dropped "
+            "FROM d CROSS JOIN fl"
+        ),
+        "q_pii_scrub": (
+            "WITH d AS (SELECT doc_id, substr(text, 1, 40) || ' u' || CAST(doc_id AS VARCHAR) "
+            "|| '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org +1 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) "
+            "|| ' 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR) AS t "
+            "FROM documents WHERE doc_id < 500) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'), "
+            "'\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text, "
+            "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email, "
+            "CAST(len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ip, "
+            "CAST(len(regexp_extract_all(t, '\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}')) AS INT) AS n_phone "
+            "FROM d"
+        ),
+        "q_c4_gate": (
+            "WITH d AS (SELECT doc_id, lang, "
+            "CASE WHEN doc_id % 11 = 0 THEN 'short text' "
+            "WHEN doc_id % 7 = 0 THEN text || ' lorem' ELSE text END AS t, "
+            "'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.com/' || "
+            "CASE WHEN doc_id % 13 = 0 THEN 'casino/' ELSE 'a/' END || CAST(doc_id AS VARCHAR) AS url "
+            "FROM documents WHERE doc_id < 1000) "
+            "SELECT doc_id, "
+            "CASE WHEN len(string_split(trim(t), ' ')) < 5 THEN 'too_short' "
+            "WHEN lower(url) LIKE '%casino%' OR lower(url) LIKE '%tracker%' THEN 'blocked_url' "
+            "WHEN lower(t) LIKE '%lorem%' OR lower(t) LIKE '%spamword%' THEN 'bad_word' "
+            "WHEN lang <> 'en' THEN 'lang' END AS drop_reason, "
+            "(CASE WHEN len(string_split(trim(t), ' ')) < 5 THEN 'too_short' "
+            "WHEN lower(url) LIKE '%casino%' OR lower(url) LIKE '%tracker%' THEN 'blocked_url' "
+            "WHEN lower(t) LIKE '%lorem%' OR lower(t) LIKE '%spamword%' THEN 'bad_word' "
+            "WHEN lang <> 'en' THEN 'lang' END) IS NULL AS keep "
+            "FROM d"
         ),
         "q_link_resolve": (
             "SELECT doc_id, CAST(doc_id % 7 AS INT) AS cls, "

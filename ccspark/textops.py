@@ -201,3 +201,130 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str = "text") -> Data
             F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus curation (Raffel et al. 2020 §2.2 preprocessing analogs)
+# ---------------------------------------------------------------------------
+
+def remove_repeated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    sep: str = "\n",
+    max_occurrences: int = 2,
+) -> DataFrame:
+    """Corpus-WIDE line dedup (the C4 "three-sentence/citation
+    boilerplate" rule generalized): drop every line that appears in more
+    than ``max_occurrences`` documents, rebuild each document from its
+    surviving lines in order.
+
+    Scale shape: lines shuffle as 8-byte xxhash64 keys for the global
+    count (strings never leave the map side of that aggregation, same
+    discipline as substring dedup); the rebuild groups by document id —
+    two delta-sized shuffles total, no driver participation.  Returns
+    (id, text, n_lines_kept, n_lines_dropped)."""
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        # Spark split() takes a REGEX — escape the literal separator
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "_pos", "_line"
+        ),
+    )
+    lines = lines.withColumn("_lh", F.xxhash64("_line"))
+    counts = (
+        lines.select("_lh", "_id")
+        .distinct()  # count DOCUMENTS containing the line, not repeats within one
+        .groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+    )
+    tagged = lines.join(counts, "_lh").withColumn(
+        "_keep", F.col("_docs") <= F.lit(max_occurrences)
+    )
+    return (
+        tagged.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_pos", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.when(F.col("_keep"), 1)).alias("n_lines_kept"),
+            F.count(F.when(~F.col("_keep"), 1)).alias("n_lines_dropped"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+# portable RE2/Java patterns (no lookaround): kept in sync with the SQL oracle
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE_RE = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-corpus PII redaction: emails, IPv4 literals, and
+    international-format phone numbers replaced with typed tokens, with
+    per-document match counts.  Pure Catalyst (JVM regex, no UDF);
+    patterns are lookaround-free so the DuckDB oracle runs them
+    verbatim.  Order matters: emails first (an email's host could
+    otherwise be half-eaten by the IP pattern)."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumn("n_email", n_email).withColumn("n_ip", n_ip).withColumn(
+        "n_phone", n_phone
+    ).withColumn(text_col, scrubbed)
+
+
+def c4_document_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str | None = None,
+    lang_col: str | None = None,
+    min_words: int = 5,
+    blocked_url_terms: tuple[str, ...] = ("casino", "tracker"),
+    bad_words: tuple[str, ...] = ("lorem", "spamword"),
+    keep_langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """C4-style document filter: too-short, blocked-URL-term, bad-word,
+    and language gates, emitting keep + the FIRST failing reason (rule
+    order is part of the contract).  Pure Catalyst."""
+    t = F.col(text_col)
+    too_short = F.size(F.split(F.trim(t), " ", -1)) < F.lit(min_words)
+    checks = [(too_short, "too_short")]
+    if url_col is not None:
+        u = F.lower(F.col(url_col))
+        blocked = F.lit(False)
+        for term in blocked_url_terms:
+            blocked = blocked | u.contains(term)
+        checks.append((blocked, "blocked_url"))
+    low = F.lower(t)
+    bad = F.lit(False)
+    for w in bad_words:
+        bad = bad | low.contains(w)
+    checks.append((bad, "bad_word"))
+    if lang_col is not None:
+        checks.append((~F.col(lang_col).isin(*keep_langs), "lang"))
+    reason = F.lit(None).cast("string")
+    for cond, name in reversed(checks):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return df.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )

@@ -132,3 +132,67 @@ ROWS_ONLY = [
 def test_rows_only_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_remove_repeated_lines_corpus_wide(spark):
+    """C4-style line dedup: a line's doc-count decides its fate; repeats
+    WITHIN one doc don't count twice; rebuild preserves order."""
+    from ccspark import textops
+
+    rows = [
+        (1, "a\nshared\nb\nshared"),   # 'shared' twice in one doc = 1 doc
+        (2, "shared\nc"),
+        (3, "shared\nd"),              # 'shared' in 3 docs > max 2 → dropped
+        (4, "e\nf"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r
+        for r in textops.remove_repeated_lines(
+            df, "id", "text", sep="\n", max_occurrences=2
+        ).collect()
+    }
+    assert out[1]["text"] == "a\nb" and out[1]["n_lines_dropped"] == 2
+    assert out[2]["text"] == "c"
+    assert out[3]["text"] == "d"
+    assert out[4]["text"] == "e\nf" and out[4]["n_lines_dropped"] == 0
+
+
+def test_scrub_pii_tokens(spark):
+    from ccspark import textops
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.org and carol@y.co.uk ip 10.1.2.3 tel +44 123-4567 end")],
+        "id long, text string",
+    )
+    r = textops.scrub_pii(df, "text").collect()[0]
+    assert r["text"] == "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE> end"
+    assert (r["n_email"], r["n_ip"], r["n_phone"]) == (2, 1, 1)
+
+
+def test_c4_gate_rule_order(spark):
+    """First failing rule wins: a short doc with a blocked URL reports
+    too_short, not blocked_url."""
+    from ccspark import textops
+
+    rows = [
+        (1, "one two", "http://a.com/casino/x", "en"),      # too_short first
+        (2, "w1 w2 w3 w4 w5 w6", "http://a.com/casino/x", "en"),
+        (3, "w1 w2 w3 lorem w4 w5", "http://a.com/ok", "en"),
+        (4, "w1 w2 w3 w4 w5 w6", "http://a.com/ok", "de"),
+        (5, "w1 w2 w3 w4 w5 w6", "http://a.com/ok", "en"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, url string, lang string")
+    got = {
+        r["id"]: (r["keep"], r["drop_reason"])
+        for r in textops.c4_document_gate(
+            df, "text", url_col="url", lang_col="lang", min_words=5
+        ).collect()
+    }
+    assert got == {
+        1: (False, "too_short"),
+        2: (False, "blocked_url"),
+        3: (False, "bad_word"),
+        4: (False, "lang"),
+        5: (True, None),
+    }
