@@ -201,6 +201,19 @@ def test_frontier_against_iceberg_catalog(tmp_path):
         pass  # session shared-ish; leave running
 
 
+def test_clustered_link_gate_trace_invariant(spark, tmp_path, crawl):
+    """cluster_link_gate=True (the 10^10-state path: links repartition
+    by partition_id before the storage gate) must not change the trace."""
+    cfg = _cfg()
+    cfg.cluster_link_gate = True
+    ckpt_c = str(tmp_path / "ckpt_clustered")
+    fr = CrawlFrontier(spark, ckpt_c, cfg)
+    fr.run(synth.gen_seeds(spark, UNIVERSE, N_HOSTS, SEED), ROUNDS)
+    got = _spark_trace(spark, ckpt_c, ROUNDS)
+    base = _spark_trace(spark, crawl[0], ROUNDS)
+    assert got == base
+
+
 def test_revisit_scheduling(spark, tmp_path):
     """Recrawl: with revisit_after=2, every URL scheduled in round r is
     re-offered (and, with generous budgets, re-scheduled) in round r+2
