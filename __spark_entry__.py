@@ -1690,16 +1690,17 @@ def oracle_sql() -> dict[str, str]:
             "WITH d AS (SELECT doc_id, substr(text, 1, 40) || ' u' || CAST(doc_id AS VARCHAR) "
             "|| '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org +1 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) "
             "|| ' 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR) AS t "
-            "FROM documents WHERE doc_id < 500) "
+            "FROM documents WHERE doc_id < 500), "
+            "s AS (SELECT doc_id, t, "
+            "regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS e1 FROM d), "
+            "s2 AS (SELECT doc_id, t, e1, "
+            "regexp_replace(e1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS e2 FROM s) "
             "SELECT doc_id, "
-            "regexp_replace(regexp_replace(regexp_replace(t, "
-            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-            "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'), "
-            "'\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text, "
+            "regexp_replace(e2, '\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text, "
             "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email, "
-            "CAST(len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ip, "
-            "CAST(len(regexp_extract_all(t, '\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}')) AS INT) AS n_phone "
-            "FROM d"
+            "CAST(len(regexp_extract_all(e1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ip, "
+            "CAST(len(regexp_extract_all(e2, '\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}')) AS INT) AS n_phone "
+            "FROM s2"
         ),
         "q_c4_gate": (
             "WITH d AS (SELECT doc_id, lang, "
@@ -1709,11 +1710,11 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 13 = 0 THEN 'casino/' ELSE 'a/' END || CAST(doc_id AS VARCHAR) AS url "
             "FROM documents WHERE doc_id < 1000) "
             "SELECT doc_id, "
-            "CASE WHEN len(string_split(trim(t), ' ')) < 5 THEN 'too_short' "
+            "CASE WHEN len(string_split_regex(trim(t), '\\s+')) < 5 THEN 'too_short' "
             "WHEN lower(url) LIKE '%casino%' OR lower(url) LIKE '%tracker%' THEN 'blocked_url' "
             "WHEN lower(t) LIKE '%lorem%' OR lower(t) LIKE '%spamword%' THEN 'bad_word' "
             "WHEN lang <> 'en' THEN 'lang' END AS drop_reason, "
-            "(CASE WHEN len(string_split(trim(t), ' ')) < 5 THEN 'too_short' "
+            "(CASE WHEN len(string_split_regex(trim(t), '\\s+')) < 5 THEN 'too_short' "
             "WHEN lower(url) LIKE '%casino%' OR lower(url) LIKE '%tracker%' THEN 'blocked_url' "
             "WHEN lower(t) LIKE '%lorem%' OR lower(t) LIKE '%spamword%' THEN 'bad_word' "
             "WHEN lang <> 'en' THEN 'lang' END) IS NULL AS keep "

@@ -133,16 +133,24 @@ def fetch_robots(
     seen = set()
     for u in urls:
         u = str(u)
-        netloc = urlsplit(u if "://" in u else f"http://{u}").netloc
-        key = netloc.split(":")[0]
+        parts = urlsplit(u if "://" in u else f"http://{u}")
+        # hostname strips userinfo AND port (netloc.split(':') would key
+        # 'u:pw@a.com' on the username); rebuild the request netloc from
+        # hostname+port only — urllib rejects userinfo in the URL
+        key = parts.hostname
         if key and key not in seen:
             seen.add(key)
-            hosts.append(netloc)
+            try:
+                netloc = key + (f":{parts.port}" if parts.port else "")
+            except ValueError:  # non-numeric port
+                netloc = key
+            hosts.append((key, netloc))
     rows = []
     fetched = fetch_batch(
-        pd.Series([f"http://{h}/robots.txt" for h in hosts]), timeout=timeout
+        pd.Series([f"http://{netloc}/robots.txt" for _h, netloc in hosts]),
+        timeout=timeout,
     )
-    for host, (_, r) in zip(hosts, fetched.iterrows()):
+    for (host, _netloc), (_, r) in zip(hosts, fetched.iterrows()):
         if pd.isna(r["status"]) or int(r["status"]) != 200 or r["html"] is None:
             continue  # unreachable/absent robots → default-allow
         try:
@@ -150,7 +158,7 @@ def fetch_robots(
         except Exception:  # noqa: BLE001
             continue
         prefixes, delay_ms = politeness.parse_robots_txt(text, agent)
-        rows.append((host.split(":")[0], prefixes, delay_ms, default_budget))
+        rows.append((host, prefixes, delay_ms, default_budget))
     return spark.createDataFrame(
         rows or [],
         "host string, disallow_prefixes array<string>, crawl_delay_ms long, "

@@ -416,18 +416,30 @@ class CrawlFrontier:
             if cfg.filter_kind == "bloom"
             else None
         )
-        obs_novel = Observation(f"novel_{round_no}")
-        if root is not None:
-            gated = seenset.gate_new_storage(
-                frontier.select(*FRONTIER_COLS), root, prev, prev, cfg.num_partitions
-            )
+        obs_novel = None
+        if n_candidates == 0:
+            # recrawl-only round: no gate and NO Observation — Catalyst
+            # collapses a pure-Catalyst gate over an empty LocalRelation
+            # and prunes the CollectMetrics node, which would leave
+            # Observation.get blocked forever (the fallback/broadcast
+            # path has no Exchange to stop empty-relation propagation)
+            novel = frontier.cache()
+            if root is None:  # the fallback filters update needs these
+                seen = self.read_seen(prev)
+                filters = ckpt.read(spark, "filters", prev)
         else:
-            seen = self.read_seen(prev)  # None before the first completed round
-            filters = ckpt.read(spark, "filters", prev)
-            gated = seenset.filter_new(
-                frontier, seen, filters, cfg.num_partitions, broadcast_bytes=bloom_bytes
-            ).select(*FRONTIER_COLS)
-        novel = gated.observe(obs_novel, F.count(F.lit(1)).alias("n")).cache()
+            obs_novel = Observation(f"novel_{round_no}")
+            if root is not None:
+                gated = seenset.gate_new_storage(
+                    frontier.select(*FRONTIER_COLS), root, prev, prev, cfg.num_partitions
+                )
+            else:
+                seen = self.read_seen(prev)  # None before the first completed round
+                filters = ckpt.read(spark, "filters", prev)
+                gated = seenset.filter_new(
+                    frontier, seen, filters, cfg.num_partitions, broadcast_bytes=bloom_bytes
+                ).select(*FRONTIER_COLS)
+            novel = gated.observe(obs_novel, F.count(F.lit(1)).alias("n")).cache()
 
         # revisit injection (recrawl): the round processed revisit_after
         # rounds ago re-enters the candidate stream AFTER the gate (those
@@ -686,7 +698,7 @@ class CrawlFrontier:
 
         # counts come from the Observations filled by the write actions —
         # no extra jobs
-        n_novel = int(obs_novel.get["n"])
+        n_novel = int(obs_novel.get["n"]) if obs_novel is not None else 0
         n_scheduled = int(obs_proc.get["n_sched"])
         n_frontier = int(obs_frontier.get["n"])
         novel.unpersist()

@@ -162,8 +162,20 @@ def seen_arrays(root: str, pid: int, upto_round: int, table: str = "processed") 
         url = np.concatenate(urls)
         dom = np.concatenate(doms)
         order = np.argsort(url, kind="stable")
-        entry["url"] = url[order]
-        entry["dom"] = dom[order]
+        url = url[order]
+        dom = dom[order]
+        # dedupe identity pairs: revisit cycles legitimately re-append
+        # scheduled identities to the processed log (it IS the fetch
+        # trace), but the in-memory membership set must stay bounded by
+        # the number of UNIQUE identities, not the number of fetches
+        if len(url) > 1:
+            keep = np.ones(len(url), dtype=bool)
+            keep[1:] = (url[1:] != url[:-1]) | (dom[1:] != dom[:-1])
+            if not keep.all():
+                url = url[keep]
+                dom = dom[keep]
+        entry["url"] = url
+        entry["dom"] = dom
         _evict_to_budget()
     return entry["url"], entry["dom"]
 

@@ -228,10 +228,12 @@ def remove_repeated_lines(
 
     lines = df.select(
         F.col(id_col).alias("_id"),
-        # Spark split() takes a REGEX — escape the literal separator
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
-            "_pos", "_line"
-        ),
+        # Spark split() takes a REGEX — escape the literal separator.
+        # coalesce: a NULL text must not drop the document from the
+        # corpus (it becomes one empty line, deduped like any other)
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep), -1)
+        ).alias("_pos", "_line"),
     )
     lines = lines.withColumn("_lh", F.xxhash64("_line"))
     counts = (
@@ -278,16 +280,16 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     verbatim.  Order matters: emails first (an email's host could
     otherwise be half-eaten by the IP pattern)."""
     t = F.col(text_col)
+    # counts are SEQUENTIAL (each stage counts on the previous stage's
+    # output), so overlapping matches — e.g. an IP-looking localpart
+    # inside an email — are never double-counted and the counts agree
+    # with the tokens actually emitted
+    after_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
     n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
-    n_ip = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), F.lit(0)))
-    n_phone = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0)))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
-        ),
-        PII_PHONE_RE,
-        "<PHONE>",
-    )
+    n_ip = F.size(F.regexp_extract_all(after_email, F.lit(PII_IPV4_RE), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(after_ip, F.lit(PII_PHONE_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
     return df.withColumn("n_email", n_email).withColumn("n_ip", n_ip).withColumn(
         "n_phone", n_phone
     ).withColumn(text_col, scrubbed)
@@ -307,7 +309,9 @@ def c4_document_gate(
     and language gates, emitting keep + the FIRST failing reason (rule
     order is part of the contract).  Pure Catalyst."""
     t = F.col(text_col)
-    too_short = F.size(F.split(F.trim(t), " ", -1)) < F.lit(min_words)
+    # split on whitespace RUNS — a single-space split would miscount
+    # newline/tab-formatted documents and count empty tokens as words
+    too_short = F.size(F.split(F.trim(t), "\\s+", -1)) < F.lit(min_words)
     checks = [(too_short, "too_short")]
     if url_col is not None:
         u = F.lower(F.col(url_col))

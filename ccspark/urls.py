@@ -736,7 +736,9 @@ def urlfp_batch(canonical: pd.Series, hosts: pd.Series | None = None) -> pd.Data
     domain_hash = np.fromiter((i[0] for i in info), dtype=np.int64, count=len(info))
     root_hash = np.fromiter((i[1] for i in info), dtype=np.int64, count=len(info))
     ok = np.fromiter((i[2] for i in info), dtype=bool, count=len(info))
-    valid_url = np.array([isinstance(v, str) for v in vals])
+    # dtype pinned: an EMPTY input would otherwise infer float64 and
+    # break the boolean combine below
+    valid_url = np.array([isinstance(v, str) for v in vals], dtype=bool)
     ok &= valid_url
     return pd.DataFrame(
         {

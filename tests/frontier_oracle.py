@@ -56,6 +56,7 @@ def replay(
     links_per_fetch,
     revisit_after=None,
     revisit_decay=0.5,
+    robots=None,
 ):
     """Returns (trace, seen): trace = set of (round, host, host_rank,
     canonical_url); seen = set of (domain_hash, url_hash).
@@ -71,17 +72,19 @@ def replay(
     seed_urls, _ = synth.gen_urls_pdf(ids, n_hosts, seed)
     seed_pri = (synth._rand(ids, 9, seed) % np.uint64(1000)).astype(np.float64) / 1000.0
 
-    robots_pdf = synth.gen_robots_pdf(n_hosts, seed)
-    robots = {
-        row.host: (tuple(row.disallow_prefixes), row.crawl_delay_ms, row.max_fetches_per_round)
-        for row in robots_pdf.itertuples()
-    }
+    if robots is None:
+        robots_pdf = synth.gen_robots_pdf(n_hosts, seed)
+        robots = {
+            row.host: (tuple(row.disallow_prefixes), row.crawl_delay_ms, row.max_fetches_per_round)
+            for row in robots_pdf.itertuples()
+        }
 
     frontier = _identify(seed_urls.tolist(), seed_pri.tolist(), 0)
     seen: set[tuple[int, int]] = set()
     trace: set[tuple[int, str, int, str]] = set()
 
     sched_by_round: dict[int, list] = {}
+    last_sched_round = 0
 
     for rnd in range(1, num_rounds + 1):
         novel = {k: v for k, v in frontier.items() if k not in seen}
@@ -153,7 +156,12 @@ def replay(
             else:
                 merged[k] = (u, c, p, r)
         frontier = merged
-        if not scheduled and not frontier:
+        if scheduled:
+            last_sched_round = rnd
+        # same idle rule as CrawlFrontier.run: a drained round only ends
+        # the crawl when no future revisit cycle can produce work
+        revisit_pending = bool(revisit_after) and rnd < last_sched_round + revisit_after
+        if not scheduled and not frontier and not revisit_pending:
             break
     return trace, seen
 

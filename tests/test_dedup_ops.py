@@ -196,3 +196,45 @@ def test_c4_gate_rule_order(spark):
         4: (False, "lang"),
         5: (True, None),
     }
+
+
+def test_remove_repeated_lines_null_text_survives(spark):
+    from ccspark import textops
+
+    df = spark.createDataFrame([(1, None), (2, "a\nb")], "id long, text string")
+    out = {
+        r["id"]: r
+        for r in textops.remove_repeated_lines(df, "id", "text").collect()
+    }
+    assert set(out) == {1, 2}  # the null-text doc is not dropped from the corpus
+    assert out[2]["text"] == "a\nb"
+
+
+def test_scrub_pii_overlap_counts_sequentially(spark):
+    """An IP-shaped localpart inside an email is consumed by the email
+    stage; n_ip must reflect what the IP stage actually saw."""
+    from ccspark import textops
+
+    df = spark.createDataFrame(
+        [(1, "x 1.2.3.4@example.com y")], "id long, text string"
+    )
+    r = textops.scrub_pii(df, "text").collect()[0]
+    assert r["text"] == "x <EMAIL> y"
+    assert (r["n_email"], r["n_ip"], r["n_phone"]) == (1, 0, 0)
+
+
+def test_c4_gate_counts_words_across_whitespace_runs(spark):
+    from ccspark import textops
+
+    rows = [
+        (1, "w1\nw2\tw3  w4\nw5 w6", "http://a.com/ok", "en"),  # 6 real words
+        (2, "a  b  c", "http://a.com/ok", "en"),                # 3 words, not 5 tokens
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, url string, lang string")
+    got = {
+        r["id"]: r["keep"]
+        for r in textops.c4_document_gate(
+            df, "text", url_col="url", lang_col="lang", min_words=5
+        ).collect()
+    }
+    assert got == {1: True, 2: False}

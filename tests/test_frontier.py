@@ -275,6 +275,42 @@ def test_revisit_trace_matches_oracle(spark, tmp_path):
     )
 
 
+def test_drained_frontier_recrawl_matches_oracle(spark, tmp_path):
+    """links_per_fetch=0 drains the frontier after round 1; with
+    revisit_after=2 the engine idles through the gap round and re-runs
+    the recrawl cycle — the replay oracle must agree round for round,
+    including the recrawl-only rounds (empty frontier, revisit-only
+    candidates)."""
+    cfg = FrontierConfig(
+        num_partitions=8,
+        universe_n=UNIVERSE,
+        n_hosts=N_HOSTS,
+        seed=SEED,
+        links_per_fetch=0,
+        default_budget=500,  # schedule every seed in round 1 → clean drain
+        round_duration_ms=ROUND_MS,
+        n_salts=4,
+        revisit_after=2,
+    )
+    empty_robots = spark.createDataFrame(
+        [],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long, "
+        "max_fetches_per_round int",
+    )
+    fr = CrawlFrontier(spark, str(tmp_path / "ckpt_drain"), cfg, robots_df=empty_robots)
+    metrics = fr.run(synth.gen_seeds(spark, UNIVERSE, N_HOSTS, SEED), 6)
+    sched = [m["scheduled"] for m in metrics]
+    # drain at round 2, recrawl at round 3, and so on in a 2-cycle
+    assert [s > 0 for s in sched] == [True, False, True, False, True, False]
+    rows = fr.read_trace(len(metrics)).collect()
+    got = {(r["round"], r["host"], r["host_rank"], r["canonical_url"]) for r in rows}
+    exp, _ = replay(
+        UNIVERSE, N_HOSTS, SEED, len(metrics), 500, ROUND_MS, 0,
+        revisit_after=2, robots={},
+    )
+    assert got == exp
+
+
 def test_frontier_per_host_cap(spark, tmp_path):
     """max_frontier_per_host priority-evicts hot hosts' queues every
     round; the cap holds in every checkpointed frontier and the run is
