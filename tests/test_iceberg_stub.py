@@ -94,6 +94,32 @@ def test_resume_deletes_crash_debris(spark, monkeypatch):
     assert fr2.ckpt.last_committed_round() == 3
 
 
+def test_drained_recrawl_over_stub_catalog(spark, monkeypatch):
+    """The recrawl-only round (empty frontier + due revisit) on the
+    CATALOG backend takes the Spark-side gates over empty relations —
+    the path where a pruned CollectMetrics would hang Observation.get
+    if the gate were observed.  links_per_fetch=0 drains after the seed
+    crawl; cycles must keep scheduling."""
+    install(monkeypatch, spark, "stubcat")
+    cfg = _cfg()
+    cfg.links_per_fetch = 0
+    cfg.default_budget = 500
+    cfg.revisit_after = 2
+    empty_robots = spark.createDataFrame(
+        [],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long, "
+        "max_fetches_per_round int",
+    )
+    fr = CrawlFrontier(
+        spark, "iceberg:stubcat.recrawl", cfg, robots_df=empty_robots
+    )
+    metrics = fr.run(synth.gen_seeds(spark, UNIVERSE, N_HOSTS, SEED), 5)
+    sched = [m["scheduled"] for m in metrics]
+    assert sched[0] > 0 and sched[1] == 0  # drained after the full seed round
+    assert sched[2] == sched[0]  # recrawl cycle re-schedules the full set
+    assert sched[3] == 0 and sched[4] == sched[0]
+
+
 def test_snapshot_time_travel_on_round_overwrite(spark, monkeypatch):
     cat = install(monkeypatch, spark, "stubcat")
     ck = make_checkpoint(spark, "iceberg:stubcat.tt")
