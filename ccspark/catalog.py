@@ -99,11 +99,19 @@ def make_checkpoint(spark: SparkSession, location: str):
 class IcebergCheckpoint:
     """Checkpoint interface over an Iceberg catalog namespace."""
 
+    # tables the storage-partitioned gate reads worker-side (seenstore)
+    STATE_TABLES = ("processed", "filters")
+
     def __init__(self, spark: SparkSession, catalog: str, namespace: str):
         self.spark = spark
         self.catalog = catalog
         self.namespace = namespace
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+        # incremental .files-metadata cache for state_location():
+        # table -> round -> pid -> sig tuple ((path, size, 0), ...)
+        self._files: dict[str, dict[int, dict[int, tuple]]] = {}
+        self._files_synced: dict[str, int] = {}  # table -> max round synced
+        self._files_dirty: dict[str, set] = {}  # rounds rewritten since sync
 
     def _qualified(self, name: str) -> str:
         return f"{self.catalog}.{self.namespace}.{name}"
@@ -131,6 +139,7 @@ class IcebergCheckpoint:
             # whose data happens to miss some partition_id must still
             # drop that partition's stale rows for this round
             out.writeTo(t).overwrite(F.col("_ckpt_round") == F.lit(int(round_no)))
+        self._files_dirty.setdefault(name, set()).add(int(round_no))
         return t
 
     def write_pdf(self, pdf: pd.DataFrame, name: str, round_no: int, arrow_schema=None, partition_col=None) -> str:
@@ -138,14 +147,18 @@ class IcebergCheckpoint:
         alone would infer long for int32 columns like partition_id /
         hash_count, breaking type parity with Spark-written rounds —
         the cogroup/union key-type invariant filter_arrow_schema
-        documents).  ``partition_col`` is a layout hint for the parquet
-        backend; Iceberg tables are partitioned by _ckpt_round and keep
-        the column as data, so it needs no handling here."""
+        documents).  ``partition_col`` becomes an Iceberg partition
+        transform at table creation (exactly like ``partition_by`` on a
+        Spark write), so driver-built tables land with the same
+        per-(round, partition) file layout state_location() enumerates
+        for the worker-side storage gate."""
         if arrow_schema is not None:
             df = self.spark.createDataFrame(pdf, schema=_arrow_to_spark_ddl(arrow_schema))
         else:
             df = self.spark.createDataFrame(pdf)
-        return self.write(df, name, round_no)
+        return self.write(
+            df, name, round_no, partition_by=[partition_col] if partition_col else None
+        )
 
     def copy_round(self, name: str, from_round: int, to_round: int) -> str:
         t = self._qualified(name)
@@ -154,6 +167,7 @@ class IcebergCheckpoint:
             f"SELECT * EXCEPT (_ckpt_round) FROM {t} "
             f"WHERE _ckpt_round = {int(from_round)}"
         )
+        self._files_dirty.setdefault(name, set()).add(int(to_round))
         return t
 
     def read(self, spark: SparkSession, name: str, round_no: int) -> DataFrame:
@@ -186,11 +200,89 @@ class IcebergCheckpoint:
                 f"DELETE FROM {self._qualified(name)} "
                 f"WHERE _ckpt_round > {int(round_no)}"
             )
+            cache = self._files.get(name)
+            if cache is not None:
+                for rd in [rd for rd in cache if rd > int(round_no)]:
+                    del cache[rd]
+            if name in self._files_synced:
+                self._files_synced[name] = min(self._files_synced[name], int(round_no))
+            self._files_dirty.get(name, set()).difference_update(
+                {rd for rd in self._files_dirty.get(name, set()) if rd > int(round_no)}
+            )
 
     def table_dir(self, name: str, round_no: int | None = None) -> str:
         # identifier, not a path — kept for interface compatibility
         t = self._qualified(name)
         return t if round_no is None else f"{t}/_ckpt_round={round_no}"
+
+    # -- storage-partitioned gate support ------------------------------------
+
+    def state_location(self):
+        """Enumerate the state tables' live data files from catalog
+        metadata (the Iceberg ``.files`` metadata table) into a
+        seenstore.ManifestLocation, so the frontier's zero-exchange
+        storage gate works on the catalog backend exactly as on a
+        filesystem root: workers read each (round, partition)'s files
+        directly, partition-pruned, with no Spark Exchange on any state
+        table.
+
+        Incremental: only rounds newer than the last sync (plus rounds
+        this object rewrote — write/copy/resume-delete mark them dirty)
+        are re-queried, so the per-round metadata cost is O(delta
+        files), not O(history).  Iceberg data files are immutable by
+        name, so (path, size) is a sound cache signature and a stable
+        ``key`` lets seenstore's per-worker incremental seen cache keep
+        accumulating across rounds.
+
+        Returns None when an existing state table is not partitioned by
+        partition_id (no layout to prune on) — the frontier then falls
+        back to the Spark-side gates."""
+        from .seenstore import ManifestLocation
+
+        files: dict = {}
+        rounds: dict = {}
+        for name in self.STATE_TABLES:
+            t = self._qualified(name)
+            cache = self._files.setdefault(name, {})
+            if not self.spark.catalog.tableExists(t):
+                continue
+            synced = self._files_synced.get(name, -1)
+            dirty = {int(r) for r in self._files_dirty.get(name, set())}
+            cond = F.col("partition._ckpt_round") > F.lit(synced)
+            if dirty:
+                cond = cond | F.col("partition._ckpt_round").isin(sorted(dirty))
+            rows = (
+                self.spark.read.table(t + ".files")
+                .select("file_path", "file_size_in_bytes", "partition")
+                .filter(cond)
+                .collect()
+            )
+            for rd in dirty:
+                cache.pop(rd, None)
+            fresh: dict[int, dict[int, list]] = {}
+            for r in rows:
+                part = r["partition"].asDict()
+                rd = part.get("_ckpt_round")
+                if rd is None:
+                    continue
+                pid = part.get("partition_id")
+                if pid is None:
+                    return None  # table lacks the partition_id layout
+                fresh.setdefault(int(rd), {}).setdefault(int(pid), []).append(
+                    (r["file_path"], int(r["file_size_in_bytes"]), 0)
+                )
+            for rd, pids in fresh.items():
+                cache[rd] = {pid: tuple(sorted(sig)) for pid, sig in pids.items()}
+            self._files_dirty[name] = set()
+            if cache:
+                self._files_synced[name] = max(max(cache), synced)
+            for rd, pids in cache.items():
+                rounds.setdefault(name, set()).add(rd)
+                for pid, sig in pids.items():
+                    files[(name, rd, pid)] = sig
+        return ManifestLocation(
+            key=f"iceberg:{self.catalog}.{self.namespace}", files=files, rounds=rounds
+        )
 
     # -- manifest -----------------------------------------------------------
 

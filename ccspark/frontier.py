@@ -339,11 +339,21 @@ class CrawlFrontier:
 
         spark, cfg, ckpt = self.spark, self.cfg, self.ckpt
         prev = round_no - 1
-        # parquet-emulation backends expose a filesystem root → the
-        # storage-partitioned gates (zero Exchange on any state table);
-        # catalog backends (Iceberg) take the Spark-side gates, where
-        # Iceberg's own storage-partitioned join plays seenstore's role.
+        # state location for the storage-partitioned gates (zero
+        # Exchange on any state table).  Filesystem backends expose a
+        # root path; catalog backends (Iceberg) expose state_location()
+        # — a file manifest enumerated from catalog metadata, refreshed
+        # after each state write so later gates see the new files.
+        # Backends with neither fall back to the Spark-side gates.
         root = getattr(ckpt, "root", None)
+
+        def _loc():
+            if root is not None:
+                return root
+            fn = getattr(ckpt, "state_location", None)
+            return fn() if fn is not None else None
+
+        loc = _loc()
 
         # empty-frontier check BEFORE the read: a drained frontier's
         # partitioned write has no data files, so the scan can't infer a
@@ -424,14 +434,14 @@ class CrawlFrontier:
             # Observation.get blocked forever (the fallback/broadcast
             # path has no Exchange to stop empty-relation propagation)
             novel = frontier.cache()
-            if root is None:  # the fallback filters update needs these
+            if loc is None:  # the fallback filters update needs these
                 seen = self.read_seen(prev)
                 filters = ckpt.read(spark, "filters", prev)
         else:
             obs_novel = Observation(f"novel_{round_no}")
-            if root is not None:
+            if loc is not None:
                 gated = seenset.gate_new_storage(
-                    frontier.select(*FRONTIER_COLS), root, prev, prev, cfg.num_partitions
+                    frontier.select(*FRONTIER_COLS), loc, prev, prev, cfg.num_partitions
                 )
             else:
                 seen = self.read_seen(prev)  # None before the first completed round
@@ -517,10 +527,10 @@ class CrawlFrontier:
         # seen delta file straight from their partition directories and
         # ORs (bloom) / rebuilds (cuckoo) — the filter state and the
         # crawl history never enter an Exchange.
-        if root is not None:
+        if loc is not None:
             filters_new = seenset.update_filters_storage(
                 spark,
-                root,
+                _loc(),  # refreshed: covers the just-written processed delta
                 round_no,
                 cfg.num_partitions,
                 kind=cfg.filter_kind,
@@ -608,7 +618,7 @@ class CrawlFrontier:
         # partition's blob, so spend one delta-sized Exchange clustering
         # them first.  At broadcastable state (small/mid crawl) every task
         # can afford all blobs — skip the Exchange.
-        if root is not None:
+        if loc is not None:
             cluster = (
                 cfg.cluster_link_gate
                 if cfg.cluster_link_gate is not None
@@ -619,8 +629,8 @@ class CrawlFrontier:
                     cfg.num_partitions, _pid_col(cfg.num_partitions)
                 )
             links_new = seenset.gate_new_storage(
-                links, root, round_no, round_no, cfg.num_partitions
-            )
+                links, _loc(), round_no, round_no, cfg.num_partitions
+            )  # refreshed location: probes the just-written round-k blobs
         else:
             seen_new = seen.unionByName(seen_delta) if seen is not None else seen_delta
             links_new = links.join(seen_new, ["domain_hash", "url_hash"], "left_anti")

@@ -511,7 +511,7 @@ def merge_filters(old: DataFrame, delta: DataFrame) -> DataFrame:
 
 def gate_new_storage(
     candidates: DataFrame,
-    root: str,
+    root,
     filters_round: int,
     seen_upto: int,
     num_partitions: int,
@@ -538,7 +538,12 @@ def gate_new_storage(
     UNclustered input at huge state (discovered links at 10^10),
     repartition by pmod(domain_hash, P) first — one delta-sized
     Exchange — so each task still touches ~1 partition
-    (frontier.py cluster_link_gate)."""
+    (frontier.py cluster_link_gate).
+
+    ``root`` is any seenstore state location: a filesystem path, an
+    FSLocation (object store), or a ManifestLocation (catalog-metadata
+    file lists — the Iceberg backend); the gate itself is
+    location-agnostic."""
     schema = candidates.schema
 
     def _gate(batches):
@@ -577,7 +582,7 @@ def gate_new_storage(
 
 def update_filters_storage(
     spark,
-    root: str,
+    root,
     round_no: int,
     num_partitions: int,
     kind: str = "bloom",

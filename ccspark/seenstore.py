@@ -16,15 +16,28 @@ shard id (Query.java:1080-1082) — the reference never re-shuffles
 crawl history between rounds either; each shard's worker owns its
 hash-range files.
 
-Deployment constraints:
-* paths must be worker-readable shared storage (local disk in tests,
-  NFS/Lustre/EFS on a cluster — the same constraint checkpoint.py
-  documents; for S3/HDFS swap the ``os``/``pyarrow`` calls for the
-  corresponding filesystem client, the protocol is identical);
+STATE LOCATIONS — every public function takes a ``loc`` that is one of
+
+* a plain ``str`` path: POSIX shared-FS root (local disk in tests,
+  NFS/Lustre/EFS on a cluster) listed with ``os`` calls — the fast
+  path for the parquet-emulation backend;
+* :class:`FSLocation`: the same ``<table>/round=k/partition_id=p``
+  layout behind a ``pyarrow.fs.FileSystem`` (S3/HDFS/GCS or any
+  custom filesystem) — object-store deployments;
+* :class:`ManifestLocation`: an explicit file manifest (path, size)
+  per (table, round, partition) produced from CATALOG metadata — the
+  Iceberg backend enumerates each round's data files from the table's
+  ``.files`` metadata (driver-side, O(delta) rows) and ships the
+  listing into the gate closures, so workers partition-prune without
+  any directory-layout assumption (ccspark.catalog.state_location).
+
+Cache-correctness invariants (hold for all three):
 * cache entries are validated against a file signature
   (name, size, mtime_ns) on every access, so an overwritten round
   (kill → deterministic re-run) or dropped crash debris invalidates
-  cleanly even with warm, reused Python workers;
+  cleanly even with warm, reused Python workers; Iceberg data files
+  are immutable-by-name, so (path, size) alone is a sound signature
+  there (mtime recorded as 0);
 * cache memory is bounded (CCSPARK_SEEN_CACHE_BYTES, default 1 GiB
   per worker) with LRU eviction — at 10^10 keys and P partitions a
   worker serving its share of partitions holds
@@ -45,12 +58,175 @@ def _cache_budget() -> int:
     return int(os.environ.get("CCSPARK_SEEN_CACHE_BYTES", 1 << 30))
 
 
+# -- filesystem resolution (object-store paths) --------------------------------
+
+_FS_CACHE: dict = {}  # per-process: uri-prefix / factory-id -> FileSystem
+
+
+def _fs_for_uri(path: str):
+    """(FileSystem, fs-relative path) for a ``scheme://`` URI, cached per
+    scheme+authority so S3/HDFS clients are built once per worker."""
+    import pyarrow.fs as pafs
+
+    scheme, _, rest = path.partition("://")
+    authority = rest.split("/", 1)[0]
+    key = (scheme, authority)
+    fs = _FS_CACHE.get(key)
+    if fs is None:
+        fs, _ = pafs.FileSystem.from_uri(path)
+        _FS_CACHE[key] = fs
+    # from_uri strips the scheme; the fs-relative path keeps the authority
+    return fs, rest
+
+
+def _read_parquet(path: str, columns, fs=None):
+    import pyarrow.parquet as pq
+
+    if fs is not None:
+        return pq.read_table(path, columns=columns, filesystem=fs)
+    if "://" in path:
+        fs2, rel = _fs_for_uri(path)
+        return pq.read_table(rel, columns=columns, filesystem=fs2)
+    return pq.read_table(path, columns=columns)
+
+
+class FSLocation:
+    """State root behind a ``pyarrow.fs.FileSystem`` — same Hive layout
+    as a plain path root, listed/stat'd/read through pyarrow so the
+    state can live on S3/HDFS/GCS.  ``fs_factory`` is a picklable
+    zero-arg callable returning the FileSystem (module-level function
+    or functools.partial — it is pickled into gate closures; the built
+    filesystem itself is cached per worker process and never pickled).
+    Without a factory the filesystem is resolved from the root: a
+    ``scheme://`` URI via ``FileSystem.from_uri``, otherwise the local
+    filesystem."""
+
+    def __init__(self, root: str, fs_factory=None, key: str | None = None):
+        self.root = root.rstrip("/")
+        self.fs_factory = fs_factory
+        self.key = key if key is not None else "fs:" + self.root
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_fs", None)
+        d.pop("_root_path", None)
+        return d
+
+    def _resolved(self):
+        if "_fs" not in self.__dict__:
+            import pyarrow.fs as pafs
+
+            if self.fs_factory is not None:
+                self._fs, self._root_path = self.fs_factory(), self.root
+            elif "://" in self.root:
+                self._fs, self._root_path = _fs_for_uri(self.root)
+            else:
+                self._fs, self._root_path = pafs.LocalFileSystem(), self.root
+        return self._fs, self._root_path
+
+    @staticmethod
+    def _join(*parts: str) -> str:
+        # fs-relative join tolerant of "" / "." roots (SubTree-style
+        # filesystems address paths relative to their base)
+        return "/".join(p for p in parts if p not in ("", "."))
+
+    def sig(self, table: str, round_no: int, pid: int) -> tuple:
+        import pyarrow.fs as pafs
+
+        fs, rp = self._resolved()
+        d = self._join(rp, table, f"round={round_no}", f"partition_id={pid}")
+        infos = fs.get_file_info(pafs.FileSelector(d, allow_not_found=True))
+        out = [
+            (i.path, i.size, i.mtime_ns or 0)
+            for i in infos
+            if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+        ]
+        return tuple(sorted(out))
+
+    def present_rounds(self, table: str, upto_round: int) -> list[int]:
+        import pyarrow.fs as pafs
+
+        fs, rp = self._resolved()
+        infos = fs.get_file_info(pafs.FileSelector(self._join(rp, table), allow_not_found=True))
+        out = []
+        for i in infos:
+            base = i.base_name
+            if base.startswith("round="):
+                try:
+                    r = int(base.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if r <= upto_round:
+                    out.append(r)
+        return sorted(out)
+
+    def read_table(self, path: str, columns):
+        fs, _ = self._resolved()
+        return _read_parquet(path, columns, fs=fs)
+
+
+def make_subtree_fs(base: str):
+    """Picklable fs-factory building block: a SubTreeFileSystem rooted
+    at ``base`` over the local filesystem.  Use
+    ``functools.partial(make_subtree_fs, base)`` as FSLocation's
+    fs_factory — partials of this module-level function pickle into
+    gate closures cleanly (worker processes import ccspark, not the
+    caller's module)."""
+    import pyarrow.fs as pafs
+
+    return pafs.SubTreeFileSystem(base, pafs.LocalFileSystem())
+
+
+class ManifestLocation:
+    """Explicit file manifest: ``files[(table, round, pid)] = ((path,
+    size, mtime_ns), ...)`` — produced driver-side from catalog
+    metadata (Iceberg ``.files``), shipped into gate closures.  File
+    paths are absolute (URIs allowed); each is read through the
+    filesystem its scheme resolves to (or ``fs_factory`` when given).
+    ``key`` must be STABLE across rounds (e.g. ``iceberg:cat.ns``) so
+    the per-worker incremental seen cache keeps accumulating — catalog
+    data files are immutable-by-name, so a refreshed manifest carries
+    identical signatures for unchanged rounds and the validation
+    passes without re-reads."""
+
+    def __init__(self, key: str, files: dict, rounds: dict, fs_factory=None):
+        self.key = key
+        self.files = files
+        self.rounds = {t: tuple(sorted(rs)) for t, rs in rounds.items()}
+        self.fs_factory = fs_factory
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_fs", None)
+        return d
+
+    def sig(self, table: str, round_no: int, pid: int) -> tuple:
+        return self.files.get((table, int(round_no), int(pid)), ())
+
+    def present_rounds(self, table: str, upto_round: int) -> list[int]:
+        return [r for r in self.rounds.get(table, ()) if r <= upto_round]
+
+    def read_table(self, path: str, columns):
+        if self.fs_factory is not None:
+            if "_fs" not in self.__dict__:
+                self._fs = self.fs_factory()
+            return _read_parquet(path, columns, fs=self._fs)
+        return _read_parquet(path, columns)
+
+
+# -- location dispatch ---------------------------------------------------------
+
+
+def _loc_key(loc):
+    return loc if isinstance(loc, str) else loc.key
+
+
 def _pid_dir(root: str, table: str, round_no: int, pid: int) -> str:
     return os.path.join(root, table, f"round={round_no}", f"partition_id={pid}")
 
 
 def _files_sig(d: str) -> tuple:
-    """(name, size, mtime_ns) per parquet file — the cache-invalidation
+    """(path, size, mtime_ns) per parquet file — the cache-invalidation
     fingerprint.  A re-written round changes mtimes; a dropped round
     disappears; both force a clean reload."""
     try:
@@ -60,18 +236,29 @@ def _files_sig(d: str) -> tuple:
     out = []
     for n in names:
         if n.endswith(".parquet"):
-            st = os.stat(os.path.join(d, n))
-            out.append((n, st.st_size, st.st_mtime_ns))
+            p = os.path.join(d, n)
+            st = os.stat(p)
+            out.append((p, st.st_size, st.st_mtime_ns))
     return tuple(out)
 
 
-def _read_pairs(d: str, sig: tuple) -> tuple[np.ndarray, np.ndarray]:
-    """Read (url_hash, domain_hash) columns of one partition directory."""
-    import pyarrow.parquet as pq
+def _sig_of(loc, table: str, round_no: int, pid: int) -> tuple:
+    if isinstance(loc, str):
+        return _files_sig(_pid_dir(loc, table, round_no, pid))
+    return loc.sig(table, round_no, pid)
 
+
+def _read_one(loc, path: str, columns):
+    if isinstance(loc, str):
+        return _read_parquet(path, columns)
+    return loc.read_table(path, columns)
+
+
+def _read_pairs(loc, sig: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """Read (url_hash, domain_hash) columns of one partition's files."""
     urls, doms = [], []
-    for name, _, _ in sig:
-        t = pq.read_table(os.path.join(d, name), columns=["url_hash", "domain_hash"])
+    for path, _, _ in sig:
+        t = _read_one(loc, path, ["url_hash", "domain_hash"])
         urls.append(t.column("url_hash").to_numpy(zero_copy_only=False))
         doms.append(t.column("domain_hash").to_numpy(zero_copy_only=False))
     if not urls:
@@ -83,8 +270,10 @@ def _read_pairs(d: str, sig: tuple) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
-def _present_rounds(root: str, table: str, upto_round: int) -> list[int]:
-    tdir = os.path.join(root, table)
+def _present_rounds(loc, table: str, upto_round: int) -> list[int]:
+    if not isinstance(loc, str):
+        return loc.present_rounds(table, upto_round)
+    tdir = os.path.join(loc, table)
     try:
         subs = os.listdir(tdir)
     except FileNotFoundError:
@@ -101,17 +290,16 @@ def _present_rounds(root: str, table: str, upto_round: int) -> list[int]:
     return sorted(out)
 
 
-def round_pairs(root: str, pid: int, round_no: int, table: str = "processed") -> tuple[np.ndarray, np.ndarray]:
+def round_pairs(loc, pid: int, round_no: int, table: str = "processed") -> tuple[np.ndarray, np.ndarray]:
     """One round's (url_hash, domain_hash) delta for one partition —
     uncached single-directory read (the filter-update job's delta)."""
-    d = _pid_dir(root, table, round_no, pid)
-    return _read_pairs(d, _files_sig(d))
+    return _read_pairs(loc, _sig_of(loc, table, round_no, pid))
 
 
 # -- incremental seen-set cache ------------------------------------------------
 
-# (root, table, pid) -> {"sigs": {round: sig}, "upto": int,
-#                        "url": sorted int64[], "dom": aligned int64[]}
+# (loc_key, table, pid) -> {"sigs": {round: sig}, "upto": int,
+#                           "url": sorted int64[], "dom": aligned int64[]}
 _SEEN_CACHE: OrderedDict = OrderedDict()
 
 
@@ -125,22 +313,22 @@ def _evict_to_budget() -> None:
         _SEEN_CACHE.popitem(last=False)  # LRU
 
 
-def seen_arrays(root: str, pid: int, upto_round: int, table: str = "processed") -> tuple[np.ndarray, np.ndarray]:
+def seen_arrays(loc, pid: int, upto_round: int, table: str = "processed") -> tuple[np.ndarray, np.ndarray]:
     """Sorted (url_hash, aligned domain_hash) of every identity this
     partition has disposed of in rounds 1..upto_round.
 
     Incremental: cached rounds are signature-validated (cheap stats),
     then only rounds not yet loaded are read and merged — per crawl
     round each partition reads exactly its one new delta file."""
-    key = (root, table, pid)
-    rounds = _present_rounds(root, table, upto_round)
+    key = (_loc_key(loc), table, pid)
+    rounds = _present_rounds(loc, table, upto_round)
     entry = _SEEN_CACHE.get(key)
     if entry is not None:
         _SEEN_CACHE.move_to_end(key)
         stale = set(entry["sigs"]) - set(rounds)  # dropped/over-horizon rounds
         if not stale:
             for r, sig in entry["sigs"].items():
-                if _files_sig(_pid_dir(root, table, r, pid)) != sig:
+                if _sig_of(loc, table, r, pid) != sig:
                     stale = {r}
                     break
         if stale:
@@ -153,9 +341,8 @@ def seen_arrays(root: str, pid: int, upto_round: int, table: str = "processed") 
     if new_rounds:
         urls, doms = [entry["url"]], [entry["dom"]]
         for r in new_rounds:
-            d = _pid_dir(root, table, r, pid)
-            sig = _files_sig(d)
-            u, dm = _read_pairs(d, sig)
+            sig = _sig_of(loc, table, r, pid)
+            u, dm = _read_pairs(loc, sig)
             entry["sigs"][r] = sig
             urls.append(u)
             doms.append(dm)
@@ -200,38 +387,62 @@ def contains(url_sorted: np.ndarray, dom_aligned: np.ndarray, q_url: np.ndarray,
 
 # -- filter-blob cache ---------------------------------------------------------
 
-# (root, table, pid, round) -> (sig, (kind, hash_count, num_buckets, n_keys, bits))
+# (loc_key, table, pid, round) -> (sig, (kind, hash_count, num_buckets, n_keys, bits))
 _BLOB_CACHE: OrderedDict = OrderedDict()
 _BLOB_CACHE_MAX = 256
 
+_FILTER_COLS = ["kind", "hash_count", "num_buckets", "n_keys", "bits"]
 
-def filter_blob(root: str, pid: int, round_no: int, table: str = "filters"):
+
+def filter_blob(loc, pid: int, round_no: int, table: str = "filters"):
     """One partition's filter row at one round, read straight from its
-    partition directory (partition-pruned; no Spark scan).  Returns
+    partition files (partition-pruned; no Spark scan).  Returns
     (kind, hash_count, num_buckets, n_keys, bits) or None when the
-    partition directory does not exist."""
-    import pyarrow.parquet as pq
+    partition has no files.
 
-    d = _pid_dir(root, table, round_no, pid)
-    sig = _files_sig(d)
+    EVERY listed file is read: a writer that splits a partition across
+    files (possible on a real catalog backend) must not silently drop
+    part of the filter — a bloom filter missing bits would produce
+    false negatives, breaking the gate's exactness.  Multiple bloom
+    rows of identical geometry are OR-merged (the no-false-negative-
+    safe union); anything else is a layout violation and raises."""
+    sig = _sig_of(loc, table, round_no, pid)
     if not sig:
         return None
-    key = (root, table, pid, round_no)
+    key = (_loc_key(loc), table, pid, round_no)
     cached = _BLOB_CACHE.get(key)
     if cached is not None and cached[0] == sig:
         _BLOB_CACHE.move_to_end(key)
         return cached[1]
-    t = pq.read_table(
-        os.path.join(d, sig[0][0]),
-        columns=["kind", "hash_count", "num_buckets", "n_keys", "bits"],
-    )
-    row = (
-        t.column("kind")[0].as_py(),
-        int(t.column("hash_count")[0].as_py()),
-        int(t.column("num_buckets")[0].as_py()),
-        int(t.column("n_keys")[0].as_py()),
-        t.column("bits")[0].as_py(),
-    )
+    rows = []
+    for path, _, _ in sig:
+        t = _read_one(loc, path, _FILTER_COLS)
+        for i in range(t.num_rows):
+            rows.append(
+                (
+                    t.column("kind")[i].as_py(),
+                    int(t.column("hash_count")[i].as_py()),
+                    int(t.column("num_buckets")[i].as_py()),
+                    int(t.column("n_keys")[i].as_py()),
+                    t.column("bits")[i].as_py(),
+                )
+            )
+    if not rows:
+        return None
+    if len(rows) == 1:
+        row = rows[0]
+    else:
+        kinds = {r[0] for r in rows}
+        geoms = {(r[1], r[2]) for r in rows}
+        if kinds != {"bloom"} or len(geoms) != 1:
+            raise AssertionError(
+                f"filter partition {pid} round {round_no}: {len(rows)} rows "
+                f"(kinds={kinds}, geometries={geoms}) — unmergeable filter layout"
+            )
+        acc = np.zeros(rows[0][2] // 64, dtype=np.uint64)
+        for r in rows:
+            acc |= np.frombuffer(r[4], dtype=np.uint64)
+        row = ("bloom", rows[0][1], rows[0][2], sum(r[3] for r in rows), acc.tobytes())
     _BLOB_CACHE[key] = (sig, row)
     while len(_BLOB_CACHE) > _BLOB_CACHE_MAX:
         _BLOB_CACHE.popitem(last=False)
@@ -242,3 +453,4 @@ def clear_caches() -> None:
     """Test hook: forget all worker-side state."""
     _SEEN_CACHE.clear()
     _BLOB_CACHE.clear()
+    _FS_CACHE.clear()

@@ -15,47 +15,105 @@ IcebergCheckpoint with the stub routing
 * ``spark.sql``: CREATE NAMESPACE, INSERT OVERWRITE ... PARTITION,
   DELETE FROM ... WHERE, SHOW TABLES IN — the three statement shapes
   the backend generates;
-* ``spark.read.table`` / ``spark.catalog.tableExists``.
+* ``spark.read.table`` / ``spark.catalog.tableExists``, including the
+  ``<table>.files`` METADATA table — the per-snapshot data-file
+  manifest (file_path, file_size_in_bytes, partition struct) that
+  state_location() enumerates for the zero-exchange storage gate.
 
 Tables are stored as pyarrow Tables (exact physical types — the int32
-vs long parity the filters table depends on survives the round-trip).
+vs long parity the filters table depends on survives the round-trip)
+AND as real parquet data files under a warehouse directory, split by
+the table's partition spec like Iceberg writes them — one immutable
+uniquely-named file per partition value per commit, dropped from the
+manifest when their partition is overwritten/deleted.  The data files
+are what the frontier's worker-side gate actually reads (seenstore
+ManifestLocation), so the storage-partitioned path is exercised for
+real, not mocked.
 """
 
 from __future__ import annotations
 
+import os
 import re
+import tempfile
+import uuid
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 
 class StubTable:
     def __init__(self, partitioning):
         self.partitioning = list(partitioning)
         self.snapshots: list[pa.Table] = []  # full table state per commit
+        self.manifests: list[dict] = []  # file_path -> entry, per commit
 
     @property
     def current(self) -> pa.Table:
         return self.snapshots[-1]
 
-    def commit(self, table: pa.Table) -> None:
+    @property
+    def current_manifest(self) -> dict:
+        return self.manifests[-1] if self.manifests else {}
+
+    def commit(self, table: pa.Table, manifest: dict | None = None) -> None:
         self.snapshots.append(table)
+        self.manifests.append(dict(manifest) if manifest is not None else dict(self.current_manifest) if self.manifests else {})
 
 
 class StubCatalog:
     """name (without catalog prefix is fine) → StubTable"""
 
-    def __init__(self, catalog: str):
+    def __init__(self, catalog: str, warehouse: str | None = None):
         self.catalog = catalog
         self.namespaces: set[str] = set()
         self.tables: dict[str, StubTable] = {}
+        self.warehouse = warehouse or tempfile.mkdtemp(prefix="stub_iceberg_wh_")
 
     def owns(self, identifier: str) -> bool:
         return identifier.startswith(self.catalog + ".")
+
+    def write_data_files(self, table_name: str, st: StubTable, new: pa.Table) -> dict:
+        """Write ``new``'s rows as parquet data files split by the
+        table's partition spec (identity transforms over columns present
+        in the data, Iceberg-style: source columns stay in the files).
+        Returns manifest entries {path: {file_path, file_size_in_bytes,
+        partition}}."""
+        entries: dict = {}
+        if new.num_rows == 0:
+            return entries  # Iceberg writes no files for an empty commit
+        d = os.path.join(self.warehouse, *table_name.split("."), "data")
+        os.makedirs(d, exist_ok=True)
+        part_cols = [c for c in st.partitioning if c in new.schema.names]
+
+        def _emit(sub: pa.Table, part_values: dict) -> None:
+            path = os.path.join(d, f"{uuid.uuid4().hex}.parquet")
+            pq.write_table(sub, path)
+            entries[path] = {
+                "file_path": path,
+                "file_size_in_bytes": os.path.getsize(path),
+                "partition": part_values,
+            }
+
+        if not part_cols:
+            _emit(new, {})
+            return entries
+        pdf = new.select(part_cols).to_pandas()
+        for vals, idx in pdf.groupby(part_cols, sort=True).groups.items():
+            if not isinstance(vals, tuple):
+                vals = (vals,)
+            sub = new.take(pa.array(sorted(int(i) for i in idx)))
+            _emit(sub, {c: int(v) for c, v in zip(part_cols, vals)})
+        return entries
 
 
 def _col_name(col) -> str:
     m = re.search(r"Column<'(.+?)'>", str(col))
     return m.group(1) if m else str(col)
+
+
+# pyspark renders the predicate as "(_ckpt_round = 1)" or "=(_ckpt_round, 1)"
+_COND_ROUND = re.compile(r"_ckpt_round\D*?(\d+)")
 
 
 class _StubWriterV2:
@@ -71,18 +129,33 @@ class _StubWriterV2:
         if self.table in self.cat.tables:
             raise RuntimeError(f"table {self.table} already exists")
         t = StubTable(self._partitioning)
-        t.commit(self.df.toArrow())
+        new = self.df.toArrow()
+        t.commit(new, self.cat.write_data_files(self.table, t, new))
         self.cat.tables[self.table] = t
 
     def overwrite(self, condition):
         st = self.cat.tables[self.table]
         kept = self._materialize(st.current).where(~condition).toArrow()
-        new = self.df.toArrow()
-        st.commit(pa.concat_tables([kept, new.cast(kept.schema)]))
+        new = self.df.toArrow().cast(kept.schema)
+        # manifest: identity-partition overwrite drops the replaced
+        # partition's files wholesale, then adds the new commit's files
+        m = _COND_ROUND.search(str(condition))
+        assert m, f"stub overwrite expects an _ckpt_round predicate, got {condition}"
+        rd = int(m.group(1))
+        manifest = {
+            p: e
+            for p, e in st.current_manifest.items()
+            if e["partition"].get("_ckpt_round") != rd
+        }
+        manifest.update(self.cat.write_data_files(self.table, st, new))
+        st.commit(pa.concat_tables([kept, new]), manifest)
 
     def append(self):
         st = self.cat.tables[self.table]
-        st.commit(pa.concat_tables([st.current, self.df.toArrow().cast(st.current.schema)]))
+        new = self.df.toArrow().cast(st.current.schema)
+        manifest = dict(st.current_manifest)
+        manifest.update(self.cat.write_data_files(self.table, st, new))
+        st.commit(pa.concat_tables([st.current, new]), manifest)
 
     def _materialize(self, arrow: pa.Table):
         return self.spark.createDataFrame(arrow)
@@ -97,10 +170,10 @@ _SQL_COPY = re.compile(
 )
 
 
-def install(monkeypatch, spark, catalog_name: str) -> StubCatalog:
+def install(monkeypatch, spark, catalog_name: str, warehouse: str | None = None) -> StubCatalog:
     """Route the stub catalog's identifiers through monkeypatched
     pyspark entry points; anything else falls through to the real ones."""
-    cat = StubCatalog(catalog_name)
+    cat = StubCatalog(catalog_name, warehouse)
 
     # patch the CONCRETE classes (pyspark 4's classic implementations
     # override the pyspark.sql base-class methods, so patching the base
@@ -137,8 +210,17 @@ def install(monkeypatch, spark, catalog_name: str) -> StubCatalog:
         if m and cat.owns(m.group(1)):
             st = cat.tables[m.group(1)]
             cur = st.current
-            keep = pa.compute.less_equal(cur.column("_ckpt_round"), int(m.group(2)))
-            st.commit(cur.filter(keep))
+            n = int(m.group(2))
+            keep = pa.compute.less_equal(cur.column("_ckpt_round"), n)
+            manifest = {
+                p: e
+                for p, e in st.current_manifest.items()
+                if not (
+                    e["partition"].get("_ckpt_round") is not None
+                    and e["partition"]["_ckpt_round"] > n
+                )
+            }
+            st.commit(cur.filter(keep), manifest)
             return None
         m = _SQL_COPY.match(query)
         if m and cat.owns(m.group(1)):
@@ -155,7 +237,13 @@ def install(monkeypatch, spark, catalog_name: str) -> StubCatalog:
             rest = cur.filter(
                 pa.compute.not_equal(cur.column("_ckpt_round"), dst_round)
             )
-            st.commit(pa.concat_tables([rest, src]))
+            manifest = {
+                p: e
+                for p, e in st.current_manifest.items()
+                if e["partition"].get("_ckpt_round") != dst_round
+            }
+            manifest.update(cat.write_data_files(m.group(1), st, src))
+            st.commit(pa.concat_tables([rest, src]), manifest)
             return None
         return orig_sql(self, query, *a, **kw)
 
@@ -166,6 +254,27 @@ def install(monkeypatch, spark, catalog_name: str) -> StubCatalog:
 
     def table(self, name):
         if cat.owns(name):
+            if name.endswith(".files"):
+                # the Iceberg .files metadata table: the CURRENT
+                # snapshot's live data files with their partition tuples
+                base = name[: -len(".files")]
+                st = cat.tables.get(base)
+                entries = sorted(st.current_manifest.values(), key=lambda e: e["file_path"]) if st else []
+                part_cols = (st.partitioning if st else None) or ["_ckpt_round"]
+                schema = (
+                    "file_path string, file_size_in_bytes long, partition struct<"
+                    + ", ".join(f"{c}: int" for c in part_cols)
+                    + ">"
+                )
+                rows = [
+                    (
+                        e["file_path"],
+                        int(e["file_size_in_bytes"]),
+                        tuple(e["partition"].get(c) for c in part_cols),
+                    )
+                    for e in entries
+                ]
+                return spark.createDataFrame(rows, schema)
             return spark.createDataFrame(cat.tables[name].current)
         return orig_table(self, name)
 

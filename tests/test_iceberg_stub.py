@@ -171,3 +171,61 @@ def test_write_pdf_pins_physical_types(spark, monkeypatch):
     assert types["hash_count"] == "int"
     assert types["num_buckets"] == "bigint"
     assert types["bits"] == "binary"
+
+
+def test_catalog_backend_takes_storage_gate(spark, monkeypatch):
+    """The catalog backend must run the ZERO-EXCHANGE storage gate (the
+    r4 design's one remaining O(history) fallback, VERDICT r4 #2): the
+    Spark-side filter_new fallback must never be touched, and
+    state_location() must enumerate per-(round, partition) data files
+    from catalog metadata."""
+    import ccspark.seenset as seenset
+    from ccspark.seenstore import ManifestLocation
+
+    install(monkeypatch, spark, "stubcat")
+
+    def _boom(*a, **kw):  # the O(history) shuffle gate
+        raise AssertionError("Spark-side filter_new fallback used on catalog backend")
+
+    monkeypatch.setattr(seenset, "filter_new", _boom)
+
+    fr = CrawlFrontier(spark, "iceberg:stubcat.zx", _cfg())
+    metrics = fr.run(synth.gen_seeds(spark, UNIVERSE, N_HOSTS, SEED), 2)
+    assert all(m["scheduled"] > 0 for m in metrics)
+
+    loc = fr.ckpt.state_location()
+    assert isinstance(loc, ManifestLocation)
+    assert loc.key == "iceberg:stubcat.zx"
+    # every committed round of both state tables is enumerated, with
+    # per-partition file lists carrying (path, size) signatures
+    assert set(loc.rounds["filters"]) == {0, 1, 2}
+    assert set(loc.rounds["processed"]) == {1, 2}
+    sig = loc.sig("filters", 2, 0)
+    assert sig and all(sz > 0 for _, sz, _ in sig)
+
+
+def test_state_location_incremental_and_resume_invalidation(spark, monkeypatch):
+    """The .files metadata cache must refresh incrementally (new rounds
+    only) and invalidate rewritten rounds on resume (drop + re-run)."""
+    install(monkeypatch, spark, "stubcat")
+    fr = CrawlFrontier(spark, "iceberg:stubcat.inc", _cfg())
+    fr.run(synth.gen_seeds(spark, UNIVERSE, N_HOSTS, SEED), 2)
+    loc2 = fr.ckpt.state_location()
+    sig_r1 = loc2.sig("processed", 1, 0)
+
+    # crash debris: uncommitted round 3, then resume from round 2
+    fr.ckpt.write(fr.ckpt.read(spark, "processed", 2), "processed", 3)
+    loc3 = fr.ckpt.state_location()
+    assert 3 in loc3.rounds["processed"]
+    fr.ckpt.drop_rounds_after(2)
+    loc4 = fr.ckpt.state_location()
+    assert 3 not in loc4.rounds["processed"]
+    # unchanged rounds keep identical signatures (worker caches stay warm)
+    assert loc4.sig("processed", 1, 0) == sig_r1
+
+    # a deterministic re-run of round 2 rewrites its files → new sigs
+    old_sig = loc4.sig("processed", 2, 0)
+    fr.ckpt.write(fr.ckpt.read(spark, "processed", 2), "processed", 2)
+    loc5 = fr.ckpt.state_location()
+    new_sig = loc5.sig("processed", 2, 0)
+    assert new_sig and new_sig != old_sig

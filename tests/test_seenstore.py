@@ -156,3 +156,122 @@ def test_round_pairs_and_missing_partition(tmp_path):
     assert seenstore.filter_blob(str(tmp_path), 0, 0) is None
     u, d = seenstore.round_pairs(str(tmp_path), 0, 1)
     assert len(u) == 0 and len(d) == 0
+
+
+# -- state locations: pyarrow.fs + explicit manifests --------------------------
+
+
+def test_fslocation_local_matches_str_root(spark, state):
+    """The same gate through a pyarrow LocalFileSystem location must
+    produce the identical novel set (the signature protocol and layout
+    are location-invariant)."""
+    cand = _identity_pdf(range(100, 160))
+    cdf = spark.createDataFrame(cand)
+    want = seenset.gate_new_storage(cdf, state, 3, 3, P).toPandas()
+    loc = seenstore.FSLocation(state)
+    got = seenset.gate_new_storage(cdf, loc, 3, 3, P).toPandas()
+    assert set(zip(got["domain_hash"], got["url_hash"])) == set(
+        zip(want["domain_hash"], want["url_hash"])
+    )
+    assert len(got) == 40
+
+
+def test_fslocation_custom_filesystem_gate_and_filters(spark, state, tmp_path):
+    """Full storage path (gate + filter update) through a custom
+    pyarrow FileSystem (SubTreeFileSystem = mock object store with
+    fs-relative paths)."""
+    import functools
+
+    loc = seenstore.FSLocation(
+        ".",
+        fs_factory=functools.partial(seenstore.make_subtree_fs, state),
+        key="mockfs:" + state,
+    )
+    cand = _identity_pdf(range(100, 160))
+    cdf = spark.createDataFrame(cand)
+    got = seenset.gate_new_storage(cdf, loc, 3, 3, P).toPandas()
+    assert len(got) == 40
+    # filter update driven through the custom fs: delta blobs must be
+    # bit-identical to the str-root update already in `state`
+    filt = seenset.update_filters_storage(
+        spark, loc, 3, P, kind="bloom", buckets_per_element=10, capacity=CAP
+    ).collect()
+    want = {
+        r["partition_id"]: bytes(r["bits"])
+        for r in Checkpoint(state).read(spark, "filters", 3).collect()
+    }
+    assert {r["partition_id"]: bytes(r["bits"]) for r in filt} == want
+
+
+def test_manifest_location_matches_str_root(spark, state):
+    """An explicit file manifest (the catalog-metadata path) over the
+    same files gates identically."""
+    files, rounds = {}, {}
+    for table in ("processed", "filters"):
+        for r in seenstore._present_rounds(state, table, 3):
+            rounds.setdefault(table, set()).add(r)
+            for pid in range(P):
+                sig = seenstore._sig_of(state, table, r, pid)
+                if sig:
+                    files[(table, r, pid)] = sig
+    loc = seenstore.ManifestLocation("manifest:" + state, files, rounds)
+    cand = _identity_pdf(range(100, 160))
+    cdf = spark.createDataFrame(cand)
+    got = seenset.gate_new_storage(cdf, loc, 3, 3, P).toPandas()
+    assert len(got) == 40
+    want = seenset.gate_new_storage(cdf, state, 3, 3, P).toPandas()
+    assert set(zip(got["domain_hash"], got["url_hash"])) == set(
+        zip(want["domain_hash"], want["url_hash"])
+    )
+
+
+def test_filter_blob_merges_multi_file_partitions(tmp_path):
+    """A partition split across multiple data files (legal on a catalog
+    backend) must be read COMPLETELY — bloom rows of one geometry are
+    OR-merged; silently reading one file would break the
+    no-false-negative invariant (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ccspark import hashing
+
+    seenstore.clear_caches()
+    d = tmp_path / "filters" / "round=1" / "partition_id=0"
+    d.mkdir(parents=True)
+    k, m = 7, 1024
+    keys_a = np.arange(0, 50, dtype=np.int64)
+    keys_b = np.arange(50, 100, dtype=np.int64)
+    for name, keys in (("a.parquet", keys_a), ("b.parquet", keys_b)):
+        words = np.zeros(m // 64, dtype=np.uint64)
+        idx = hashing.bloom_buckets_long(keys, k, m).ravel()
+        np.bitwise_or.at(words, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+        t = pa.table(
+            {
+                "kind": ["bloom"],
+                "hash_count": pa.array([k], type=pa.int32()),
+                "num_buckets": [m],
+                "n_keys": [len(keys)],
+                "bits": [words.tobytes()],
+            }
+        )
+        pq.write_table(t, str(d / name))
+    blob = seenstore.filter_blob(str(tmp_path), 0, 1)
+    kind, kk, mm, nk, bits = blob
+    assert (kind, kk, mm, nk) == ("bloom", k, m, 100)
+    # the merged filter must contain BOTH files' keys (no false negatives)
+    probe = seenset.bloom_probe(np.arange(0, 100, dtype=np.int64), kk, mm, bits)
+    assert probe.all()
+    # mismatched geometry is a layout violation, not silently merged
+    words = np.zeros(2048 // 64, dtype=np.uint64)
+    t = pa.table(
+        {
+            "kind": ["bloom"],
+            "hash_count": pa.array([k], type=pa.int32()),
+            "num_buckets": [2048],
+            "n_keys": [1],
+            "bits": [words.tobytes()],
+        }
+    )
+    pq.write_table(t, str(d / "c.parquet"))
+    with pytest.raises(AssertionError, match="unmergeable"):
+        seenstore.filter_blob(str(tmp_path), 0, 1)
