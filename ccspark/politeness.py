@@ -263,15 +263,24 @@ def robots_table_from_fetches(df: DataFrame, host_col: str = "host", body_col: s
 
 
 def with_host_and_path(df: DataFrame, canonical_col: str = "canonical_url") -> DataFrame:
-    """Derive host and path columns from the canonical URL (Catalyst only)."""
-    return df.withColumn(
-        "host", F.regexp_extract(F.col(canonical_col), r"^[a-z]+://(?:[^/@]*@)?([^/:?#]+)", 1)
-    ).withColumn(
-        "path",
-        F.when(
-            F.length(F.regexp_extract(F.col(canonical_col), PATH_RE, 1)) > 0,
-            F.regexp_extract(F.col(canonical_col), PATH_RE, 1),
-        ).otherwise(F.lit("/")),
+    """Derive host and path columns from the canonical URL (Catalyst only).
+
+    The path regex runs ONCE per row: the raw extract lands in its own
+    projection and the empty→"/" default references that column.
+    CollapseProject keeps non-cheap multiply-referenced aliases in
+    their own project, so the plan evaluates one regexp_extract per
+    output column (r4 plan audit showed the inline CASE form computing
+    the path regex twice per candidate row)."""
+    return (
+        df.withColumn(
+            "host", F.regexp_extract(F.col(canonical_col), r"^[a-z]+://(?:[^/@]*@)?([^/:?#]+)", 1)
+        )
+        .withColumn("_rawpath", F.regexp_extract(F.col(canonical_col), PATH_RE, 1))
+        .withColumn(
+            "path",
+            F.when(F.length("_rawpath") > 0, F.col("_rawpath")).otherwise(F.lit("/")),
+        )
+        .drop("_rawpath")
     )
 
 

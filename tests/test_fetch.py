@@ -43,6 +43,12 @@ def site(tmp_path_factory):
     sub.mkdir()
     (sub / "p3.html").write_text("<html>leaf — no links</html>")
     (root / "big.html").write_text("<html>" + "x" * 100_000 + "</html>")
+    # /r redirects to /r/ (directory 301): relative links inside must
+    # resolve against the REDIRECTED base
+    rdir = root / "r"
+    rdir.mkdir()
+    (rdir / "index.html").write_text('<html><a href="next.html">n</a></html>')
+    (rdir / "next.html").write_text("<html>leaf</html>")
 
     handler = lambda *a, **kw: _QuietHandler(*a, directory=str(root), **kw)  # noqa: E731
     srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
@@ -90,8 +96,54 @@ def test_fetch_robots_parses_live_rules(spark, site):
     assert r["host"] == "127.0.0.1"
     assert r["disallow_prefixes"] == ["/private/"]
     assert r["crawl_delay_ms"] == 1000
-    # a host with no robots.txt server → empty table (default-allow)
-    assert fetch.fetch_robots(spark, ["http://127.0.0.1:1/x"], timeout=2).count() == 0
+    # an UNREACHABLE robots server (connection refused) → RFC 9309
+    # §2.3.1.4: complete disallow, not default-allow
+    rows = fetch.fetch_robots(spark, ["http://127.0.0.1:1/x"], timeout=2).collect()
+    assert len(rows) == 1
+    assert rows[0]["host"] == "127.0.0.1" and rows[0]["disallow_prefixes"] == ["/"]
+
+
+def test_fetch_robots_https_first_falls_back_to_http(spark, site):
+    """A bare host tries https first; the (http-only) loopback server
+    fails the TLS handshake → transport error → http fallback parses
+    the real rules (an https-only host's rules are no longer missed,
+    and an http-only host still works)."""
+    netloc = site.split("://", 1)[1]
+    rules = fetch.fetch_robots(spark, [netloc], timeout=5).collect()
+    assert len(rules) == 1
+    assert rules[0]["disallow_prefixes"] == ["/private/"]
+    assert rules[0]["crawl_delay_ms"] == 1000
+
+
+@pytest.fixture(scope="module")
+def robots_503_site():
+    class _Err(SimpleHTTPRequestHandler):
+        def do_GET(self):
+            self.send_error(503)
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Err)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_fetch_robots_5xx_is_complete_disallow(spark, robots_503_site):
+    rows = fetch.fetch_robots(spark, [f"{robots_503_site}/x"], timeout=5).collect()
+    assert len(rows) == 1 and rows[0]["disallow_prefixes"] == ["/"]
+
+
+def test_redirected_page_links_resolve_against_final_url(spark, site):
+    """urllib follows /r → /r/ (301); relative hrefs must resolve
+    against the landed URL (final_url), not the scheduled one."""
+    expand = fetch.make_expand_fn(timeout=5)
+    sched = spark.createDataFrame([(f"{site}/r", 1.0)], "url string, priority double")
+    got = {r["url"] for r in expand(sched).collect()}
+    assert f"{site}/r/next.html" in got
+    assert f"{site}/next.html" not in got
 
 
 def test_live_crawl_respects_live_robots(spark, site, tmp_path):
@@ -160,3 +212,26 @@ def test_live_crawl_end_to_end(spark, site, tmp_path):
     # drained: no round 4 schedules anything
     assert 4 not in by_round
     assert metrics[-1]["frontier_size"] == 0
+
+
+def test_fetch_batch_per_host_spacing(site):
+    """Same-host requests are spaced max(delay_ms, crawl_delay_ms)
+    apart; different hosts don't wait on each other."""
+    import time
+
+    import pandas as pd
+
+    urls = pd.Series([f"{site}/index.html"] * 3)
+    t0 = time.monotonic()
+    out = fetch.fetch_batch(
+        urls, timeout=5, hosts=["h1", "h1", "h1"], delays_ms=[250, 250, 250]
+    )
+    elapsed = time.monotonic() - t0
+    assert out["status"].tolist() == [200, 200, 200]
+    assert elapsed >= 0.5  # two inter-request gaps of >= 250ms
+
+    # NaN delay (no robots Crawl-delay) + no hosts → no spacing semantics change
+    out2 = fetch.fetch_batch(
+        urls, timeout=5, hosts=["h1", "h2", "h3"], delays_ms=[None, None, 500]
+    )
+    assert out2["status"].tolist() == [200, 200, 200]
