@@ -139,10 +139,54 @@ def _iter_gzip_members(data: bytes):
         pos += consumed
 
 
-def read_arc_bytes(data: bytes, arc_file: str = ""):
-    """Iterate decoded records from an in-memory ARC file."""
+def _iter_gzip_members_stream(fh, chunk_bytes: int = 1 << 20):
+    """Yield (offset, inflated_bytes) per gzip member from a FILE-LIKE
+    object, reading the compressed stream in bounded chunks — the
+    streamed counterpart of ``_iter_gzip_members``: an arbitrarily
+    large archive never materializes as one buffer (the reference
+    streams 32 KB blocks, ARCFileReader.java:86-106; Spark caps a
+    binary cell at 2 GB).  Per-member memory only; a truncated final
+    member yields what inflated (best-effort, same as the in-memory
+    walk); a corrupt member ends the scan."""
+    buf = b""  # unconsumed compressed bytes; `base` = file offset of buf[0]
+    base = 0
+    while True:
+        if not buf:
+            buf = fh.read(chunk_bytes)
+            if not buf:
+                return
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        member_off = base
+        out = []
+        while not d.eof:
+            if not buf:
+                buf = fh.read(chunk_bytes)
+                if not buf:
+                    break
+            try:
+                out.append(d.decompress(buf))
+            except zlib.error:
+                return
+            if not d.eof:
+                base += len(buf)
+                buf = b""
+        if d.eof:
+            consumed = len(buf) - len(d.unused_data)
+            base += consumed
+            buf = d.unused_data
+            yield member_off, b"".join(out)
+        else:  # EOF mid-member: truncated tail, best-effort
+            data = b"".join(out)
+            if data:
+                yield member_off, data
+            return
+
+
+def _records_from_members(members, arc_file: str = ""):
+    """Member iterator → decoded ARC record dicts (shared by the
+    in-memory and streamed walks)."""
     first = True
-    for offset, member in _iter_gzip_members(data):
+    for offset, member in members:
         if first:
             first = False
             if member.decode("latin-1", "replace").startswith(ARC_MAGIC):
@@ -186,6 +230,17 @@ def read_arc_bytes(data: bytes, arc_file: str = ""):
         }
 
 
+def read_arc_bytes(data: bytes, arc_file: str = ""):
+    """Iterate decoded records from an in-memory ARC file."""
+    yield from _records_from_members(_iter_gzip_members(data), arc_file)
+
+
+def read_arc_stream(fh, arc_file: str = "", chunk_bytes: int = 1 << 20):
+    """Iterate decoded records from a FILE-LIKE .arc.gz stream without
+    materializing the file (per-member memory)."""
+    yield from _records_from_members(_iter_gzip_members_stream(fh, chunk_bytes), arc_file)
+
+
 def scan_arc(spark: SparkSession, path_glob: str) -> DataFrame:
     """Distributed ARC scan: one input row per ``.arc.gz`` file
     (binaryFile source — unsplittable, like the reference InputFormat),
@@ -217,6 +272,58 @@ def scan_arc(spark: SparkSession, path_glob: str) -> DataFrame:
                     "payload",
                 ],
             )
+
+    return files.mapInPandas(_decode, schema=RECORD_SCHEMA)
+
+
+def scan_arc_stream(
+    spark: SparkSession,
+    path_glob: str,
+    chunk_bytes: int = 1 << 20,
+    max_batch_rows: int = 1000,
+) -> DataFrame:
+    """Distributed STREAMED ARC scan: the file listing (paths only — the
+    binaryFile source prunes the content column) fans out one file per
+    task, and each task walks its archive incrementally
+    (read_arc_stream): bounded chunk reads, per-member memory, record
+    rows emitted in ≤``max_batch_rows`` batches.  Byte-identical rows
+    to ``scan_arc``, but a >2 GB ``.arc.gz`` neither hits Spark's
+    binary-cell cap nor spikes task memory (reference streams 32 KB
+    blocks, ARCFileReader.java:86-106)."""
+    from . import sources
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.arc.gz")
+        .load(path_glob)
+        .select("path")
+        .repartition("path")  # one file per task, like the 1-file InputFormat
+    )
+
+    cols = [
+        "url",
+        "arc_file",
+        "arc_offset",
+        "host_ip",
+        "warc_ts",
+        "mime",
+        "record_len",
+        "headers",
+        "payload",
+    ]
+
+    def _decode(batches):
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows = []
+                with sources.open_stream(path) as fh:
+                    for rec in read_arc_stream(fh, arc_file=path, chunk_bytes=chunk_bytes):
+                        rows.append(rec)
+                        if len(rows) >= max_batch_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(_decode, schema=RECORD_SCHEMA)
 

@@ -50,6 +50,24 @@ def s3a_conf(max_parallel_streams: int = DEFAULT_STREAMS) -> dict[str, str]:
     }
 
 
+def open_stream(path: str):
+    """Worker-side sequential read stream for a Spark-listed path:
+    ``file:`` URIs and plain paths open locally; any other scheme
+    (s3://, hdfs://, ...) resolves through ``pyarrow.fs`` — the
+    streamed archive scans (arc.scan_arc_stream / warc.scan_warc_stream)
+    read through this, so oversized archives never materialize as one
+    buffer on any storage backend."""
+    p = str(path)
+    if p.startswith("file:"):
+        return open(p[len("file:"):], "rb")
+    if "://" in p:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(p)
+        return fs.open_input_stream(rel)
+    return open(p, "rb")
+
+
 RANGE_SCHEMA = "path string, offset long, length long, data binary, error string"
 
 

@@ -99,3 +99,81 @@ def test_with_decoded_text_end_to_end(spark, tmp_path):
     assert "日本語のページ" in out["http://a.example.com/jp"]
     assert out["http://a.example.com/en"] == body_en.decode("ascii")
     assert out["http://a.example.com/img"] is None  # binary type -> null
+
+
+# -- streamed (chunked) scan ---------------------------------------------------
+
+
+def test_stream_member_walk_matches_in_memory():
+    """_iter_gzip_members_stream == _iter_gzip_members on a multi-member
+    archive at adversarial chunk sizes (boundaries mid-header,
+    mid-member, mid-trailer), including the truncated-tail best-effort."""
+    import io
+
+    recs = _records(30)
+    blob = arc.write_arc_bytes(recs, "t.arc.gz")
+    want = list(arc._iter_gzip_members(blob))
+    assert len(want) == 31  # filedesc header member + 30 records
+    for chunk in (1, 7, 64, 1 << 20):
+        got = list(arc._iter_gzip_members_stream(io.BytesIO(blob), chunk_bytes=chunk))
+        assert got == want, f"chunk_bytes={chunk}"
+    # truncated tail: both walks yield the same partial member set
+    cut = blob[: len(blob) - 40]
+    want_t = list(arc._iter_gzip_members(cut))
+    got_t = list(arc._iter_gzip_members_stream(io.BytesIO(cut), chunk_bytes=11))
+    assert [o for o, _ in got_t] == [o for o, _ in want_t]
+    assert all(a[1] == b[1] for a, b in zip(got_t[:-1], want_t[:-1]))
+
+
+def test_scan_arc_stream_identical_to_whole_file(spark, tmp_path):
+    """scan_arc_stream must produce byte-identical rows to scan_arc on a
+    multi-file, multi-member fixture — with chunk_bytes far smaller than
+    the archive and max_batch_rows forcing multiple emitted batches."""
+    recs = _records(30)
+    for part in range(3):
+        (tmp_path / f"f{part}.arc.gz").write_bytes(
+            arc.write_arc_bytes(recs[part * 10 : (part + 1) * 10], f"f{part}.arc.gz")
+        )
+    whole = arc.scan_arc(spark, str(tmp_path)).toPandas()
+    streamed = arc.scan_arc_stream(
+        spark, str(tmp_path), chunk_bytes=256, max_batch_rows=4
+    ).toPandas()
+    key = ["arc_file", "arc_offset"]
+    whole = whole.sort_values(key).reset_index(drop=True)
+    streamed = streamed.sort_values(key).reset_index(drop=True)
+    assert len(whole) == len(streamed) == 30
+    for col in whole.columns:
+        a = [repr(x) for x in whole[col].tolist()]
+        b = [repr(x) for x in streamed[col].tolist()]
+        assert a == b, f"column {col} differs"
+
+
+def test_scan_warc_stream_identical_to_whole_file(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from ccspark import warc
+
+    ts = datetime(2013, 5, 1, 12, 0, 0, tzinfo=timezone.utc)
+    for fi in range(2):
+        recs = [
+            dict(
+                warc_type="response",
+                url=f"http://h{i}.com/{fi}",
+                ts=ts,
+                payload=warc.build_http_response(f"<html>doc {fi}/{i}</html>".encode()),
+            )
+            for i in range(8)
+        ]
+        (tmp_path / f"part{fi}.warc.gz").write_bytes(warc.write_warc_bytes(recs))
+    whole = warc.scan_warc(spark, str(tmp_path)).toPandas()
+    streamed = warc.scan_warc_stream(
+        spark, str(tmp_path), chunk_bytes=128, max_batch_rows=3
+    ).toPandas()
+    key = ["warc_file", "warc_offset"]
+    whole = whole.sort_values(key).reset_index(drop=True)
+    streamed = streamed.sort_values(key).reset_index(drop=True)
+    assert len(whole) == len(streamed) > 0
+    for col in whole.columns:
+        a = [repr(x) for x in whole[col].tolist()]
+        b = [repr(x) for x in streamed[col].tolist()]
+        assert a == b, f"column {col} differs"
