@@ -300,6 +300,56 @@ def q_binary_meta(spark, sf_dir):
     )
 
 
+def q_media_video(spark, sf_dir):
+    """REAL MP4/WebM container-metadata parse end to end: synthesize a
+    spec-shaped fixture per document (ISO-BMFF box tree for even
+    doc_ids, Matroska EBML tree for odd — ccspark.video builders with
+    dimensions/duration derived from doc_id), run the box/EBML walkers
+    through the multimodal extractor, and emit container + dimensions +
+    duration + byte size.  The container column is sniffed from the
+    ACTUAL payload bytes in Catalyst (substring == b'ftyp'), and
+    n_bytes locks the fixture byte layout; durations are exact in
+    binary64 on both engines (timescale 1000 / TimecodeScale 1e6), so
+    no rounding is needed."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ccspark import multimodal, video
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 200").select("doc_id")
+
+    def _mk_video(doc_id):
+        out = []
+        for did in doc_id:
+            d = int(did)
+            w, h, dur = 320 + d % 16 * 16, 180 + d % 9 * 20, 1000 + d * 37
+            out.append(
+                video.build_mp4(w, h, dur)
+                if d % 2 == 0
+                else video.build_webm(w, h, float(dur))
+            )
+        return pd.Series(out, index=doc_id.index)
+
+    mk = pandas_udf(_mk_video, "binary")
+    payloads = docs.withColumn("payload", mk(F.col("doc_id"))).withColumn(
+        "container",
+        F.when(F.expr("substring(payload, 5, 4)") == F.lit(b"ftyp"), F.lit("mp4")).otherwise(
+            F.lit("webm")
+        ),
+    )
+    feats = multimodal.extract_features(
+        payloads, "doc_id", "payload", media_type="video", carry=("container",)
+    )
+    return feats.select(
+        "doc_id",
+        "container",
+        "width",
+        "height",
+        F.element_at("features", 1).alias("duration_ms"),
+        "n_bytes",
+    )
+
+
 def q_langid(spark, sf_dir):
     """Language-ID heuristic distribution (rows-only check)."""
     from ccspark import textops
@@ -1456,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_charset_decode": q_charset_decode,
         "q_charset_detect": q_charset_detect,
         "q_media_jpeg": q_media_jpeg,
+        "q_media_video": q_media_video,
         "q_media_png_filters": q_media_png_filters,
         "q_substring_dedup": q_substring_dedup,
         "q_repetition_stats": q_repetition_stats,
@@ -1868,6 +1919,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width, "
             "CAST(8 + (doc_id // 9) % 9 AS INT) AS height, "
             "CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_gray "
+            "FROM documents WHERE doc_id < 200"
+        ),
+        "q_media_video": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container, "
+            "CAST(320 + (doc_id % 16) * 16 AS INT) AS width, "
+            "CAST(180 + (doc_id % 9) * 20 AS INT) AS height, "
+            "CAST(1000 + doc_id * 37 AS DOUBLE) AS duration_ms, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 244 "
+            "WHEN (doc_id % 9) <= 3 THEN 78 ELSE 79 END AS BIGINT) AS n_bytes "
             "FROM documents WHERE doc_id < 200"
         ),
         "q_media_decode": (

@@ -305,4 +305,8 @@ def sniff_media(data: bytes) -> str:
         return "audio/wav"
     if data[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "video/mp4"
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        return "video/webm"
     return "application/octet-stream"

@@ -4,12 +4,15 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct.  The decode stage is REAL for PNG, 16-bit-PCM WAV and
 JPEG (baseline AND progressive) — pure numpy/stdlib codecs in
 ccspark.media / ccspark.jpeg (zlib + filter reconstruction / RIFF /
-LUT huffman + DCT), no external image libraries needed.  Formats
-without a decoder (video) remain honestly stubbed: ``extract_features`` raises
-for them unless ``deterministic_fake`` substitutes a seeded
-byte-statistics "decode" with the same output schema, so the downstream
-plumbing (schema, partition sizing, Arrow batch shape) still runs
-end-to-end for every format.
+LUT huffman + DCT), no external image libraries needed.  Video
+(MP4/WebM) parses REAL container metadata — dimensions + duration from
+the box/EBML structures (ccspark.video) — while frame/codec decode
+stays honestly out of scope (needs codec libraries this environment
+doesn't ship; a real pipeline's GPU decode stage plugs into _decode).
+Unrecognized formats raise unless ``deterministic_fake`` substitutes a
+seeded byte-statistics "decode" with the same output schema, so the
+downstream plumbing (schema, partition sizing, Arrow batch shape)
+still runs end-to-end for every format.
 """
 
 from __future__ import annotations
@@ -56,11 +59,16 @@ def extract_features(
     binary_col: str,
     media_type: str = "image",
     deterministic_fake: bool = False,
+    carry: tuple = (),
 ):
     """mapInPandas feature extraction over binary payloads.
 
-    Real deployments plug a codec into ``_decode``; here the decode is
-    stubbed (see module docstring)."""
+    ``carry`` columns ride through to the output unchanged (same
+    linear-plan trick as links.extract_hrefs: joining the features back
+    to the input would recompute the payload subtree per branch).
+
+    Real deployments plug a codec into ``_decode``; here PNG/WAV/JPEG
+    decode and MP4/WebM metadata are real (see module docstring)."""
 
     def _decode(payload: bytes):
         from . import media
@@ -77,30 +85,52 @@ def extract_features(
 
             w, h, _c, img = jpeg.decode_jpeg(payload)
             return w, h, np.asarray(media.image_features(img))
+        if kind in ("video/mp4", "video/webm"):
+            from . import video
+
+            meta = video.parse_video_meta(payload)
+            # features: [duration_ms] — the container-metadata surface;
+            # frame decode needs codec libs this environment lacks (the
+            # GPU/codec stage of a real pipeline plugs in here)
+            dur = meta["duration_ms"]
+            return (
+                meta["width"],
+                meta["height"],
+                np.asarray([float(dur) if dur is not None else -1.0]),
+            )
         if not deterministic_fake:
             raise NotImplementedError(
-                f"no decoder for {kind}; PNG/WAV/baseline-JPEG decode is "
-                "real, run with deterministic_fake=True for other formats"
+                f"no decoder for {kind}; PNG/WAV/JPEG decode and MP4/WebM "
+                "metadata are real, run with deterministic_fake=True for "
+                "other formats"
             )
         return _fake_decode(payload)
+
+    carry = list(carry)
 
     def _extract(batches):
         for pdf in batches:
             rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+            for j, (doc_id, payload) in enumerate(zip(pdf[id_col], pdf[binary_col])):
                 payload = bytes(payload)
                 width, height, feats = _decode(payload)
-                rows.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "media_type": media_type,
-                        "n_bytes": len(payload),
-                        "digest": hashlib.sha256(payload).hexdigest(),
-                        "width": int(width),
-                        "height": int(height),
-                        "features": feats.tolist(),
-                    }
-                )
-            yield pd.DataFrame(rows)
+                row = {
+                    "doc_id": int(doc_id),
+                    "media_type": media_type,
+                    "n_bytes": len(payload),
+                    "digest": hashlib.sha256(payload).hexdigest(),
+                    "width": int(width),
+                    "height": int(height),
+                    "features": feats.tolist(),
+                }
+                for c in carry:
+                    row[c] = pdf[c].iloc[j]
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "n_bytes", "digest", "width", "height", "features", *carry])
 
-    return df.select(id_col, binary_col).mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    carry_ddl = "".join(
+        f", {f.name} {f.dataType.simpleString()}" for f in df.schema if f.name in carry
+    )
+    return df.select(id_col, binary_col, *carry).mapInPandas(
+        _extract, schema=FEATURE_SCHEMA + carry_ddl
+    )

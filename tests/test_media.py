@@ -518,3 +518,103 @@ def test_decoders_raise_valueerror_on_garbage():
         # gzip-framed containers decode best-effort (no raise)
         list(warc.read_warc_bytes(b"\x1f\x8b\x08\x00" + junk))
         list(arc.read_arc_bytes(b"\x1f\x8b\x08\x00" + junk))
+
+
+# -- video container metadata (MP4 boxes / WebM EBML) --------------------------
+
+
+class TestVideoMeta:
+    def test_mp4_roundtrip(self):
+        from ccspark import video
+
+        b = video.build_mp4(640, 360, 12345, timescale=1000)
+        m = video.parse_mp4_meta(b)
+        assert m == {
+            "container": "mp4", "brand": "isom",
+            "width": 640, "height": 360, "duration_ms": 12345.0,
+        }
+
+    def test_mp4_v1_mvhd_and_largesize(self):
+        """Version-1 mvhd (64-bit duration) and a 64-bit largesize box
+        header parse identically."""
+        import struct
+
+        from ccspark import video
+
+        matrix = struct.pack(">9I", 1 << 16, 0, 0, 0, 1 << 16, 0, 0, 0, 1 << 30)
+        mvhd = video._box(
+            b"mvhd",
+            struct.pack(">B3x", 1)
+            + struct.pack(">QQIQ", 0, 0, 90000, 90000 * 7)
+            + struct.pack(">IHH", 1 << 16, 0x0100, 0)
+            + b"\x00" * 8 + matrix + b"\x00" * 24 + struct.pack(">I", 2),
+        )
+        tkhd = video._box(
+            b"tkhd",
+            struct.pack(">B3x", 7)
+            + struct.pack(">IIII", 0, 0, 1, 0)
+            + struct.pack(">I", 0)
+            + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0) + matrix
+            + struct.pack(">II", 1920 << 16, 1080 << 16),
+        )
+        moov_payload = mvhd + video._box(b"trak", tkhd)
+        moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov_payload)) + moov_payload
+        ftyp = video._box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42isom")
+        m = video.parse_mp4_meta(ftyp + moov)
+        assert (m["brand"], m["width"], m["height"]) == ("mp42", 1920, 1080)
+        assert m["duration_ms"] == 7000.0
+
+    def test_webm_roundtrip_and_defaults(self):
+        from ccspark import video
+
+        w = video.build_webm(1280, 720, 45678.0)
+        m = video.parse_webm_meta(w)
+        assert m == {
+            "container": "webm", "brand": "webm",
+            "width": 1280, "height": 720, "duration_ms": 45678.0,
+        }
+        # absent TimecodeScale → Matroska default 1,000,000 ns; 4-byte
+        # float Duration accepted
+        import struct
+
+        info = video._el(video._ID_INFO, video._el(video._ID_DURATION, struct.pack(">f", 2000.0)))
+        vid = video._el(
+            video._ID_VIDEO,
+            video._el(video._ID_PIXELWIDTH, b"\x10") + video._el(video._ID_PIXELHEIGHT, b"\x09"),
+        )
+        seg = video._el(
+            video._ID_SEGMENT,
+            info + video._el(video._ID_TRACKS, video._el(video._ID_TRACKENTRY, vid)),
+        )
+        hdr = video._el(0x1A45DFA3, video._el(video._ID_DOCTYPE, b"matroska"))
+        m2 = video.parse_webm_meta(hdr + seg)
+        assert m2["brand"] == "matroska"
+        assert (m2["width"], m2["height"], m2["duration_ms"]) == (16, 9, 2000.0)
+
+    def test_malformed_raises(self):
+        import pytest as _pytest
+
+        from ccspark import video
+
+        mp4 = video.build_mp4(64, 64, 1000)
+        webm = video.build_webm(64, 64, 1000.0)
+        for bad in (b"", b"\x00" * 64, mp4[:20], webm[:6], mp4[:4] + b"XXXX" + mp4[8:]):
+            with _pytest.raises(ValueError):
+                video.parse_video_meta(bad)
+
+    def test_sniff_and_extract_features_video(self, spark):
+        from ccspark import media, multimodal, video
+
+        mp4 = video.build_mp4(320, 240, 5000)
+        webm = video.build_webm(640, 480, 2500.0)
+        assert media.sniff_media(mp4) == "video/mp4"
+        assert media.sniff_media(webm) == "video/webm"
+        df = spark.createDataFrame(
+            [(1, bytearray(mp4)), (2, bytearray(webm))], "doc_id long, payload binary"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in multimodal.extract_features(df, "doc_id", "payload", media_type="video").collect()
+        }
+        assert (got[1]["width"], got[1]["height"], got[1]["features"][0]) == (320, 240, 5000.0)
+        assert (got[2]["width"], got[2]["height"], got[2]["features"][0]) == (640, 480, 2500.0)
