@@ -46,6 +46,16 @@ def main() -> int:
     ap.add_argument("--revisit-decay", type=float, default=0.5)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--stub-catalog",
+        metavar="WAREHOUSE_DIR",
+        default=None,
+        help="route an iceberg:<cat>.<ns> --ckpt through the functional "
+        "stub catalog (tests/iceberg_stub.py) with data files under "
+        "WAREHOUSE_DIR — sandbox evidence path for environments without "
+        "Iceberg jars; a real cluster omits this and configures "
+        "spark.sql.catalog.<cat> (see ARCHITECTURE.md §6)",
+    )
     args = ap.parse_args()
 
     from ccspark.frontier import CrawlFrontier, FrontierConfig
@@ -53,6 +63,20 @@ def main() -> int:
     from ccspark import synth
 
     spark = build_session("ccspark-frontier", master=args.master, shuffle_partitions=args.partitions)
+    if args.stub_catalog is not None:
+        if not args.ckpt.startswith("iceberg:"):
+            ap.error("--stub-catalog requires an iceberg:<catalog>.<ns> --ckpt")
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+        from iceberg_stub import install
+
+        class _SetattrShim:  # install() only needs the 3-arg setattr form
+            @staticmethod
+            def setattr(target, name, value):
+                setattr(target, name, value)
+
+        cat_name = args.ckpt[len("iceberg:") :].partition(".")[0]
+        os.makedirs(args.stub_catalog, exist_ok=True)
+        install(_SetattrShim(), spark, cat_name, args.stub_catalog)
     cfg = FrontierConfig(
         num_partitions=args.partitions,
         universe_n=args.universe,
