@@ -390,6 +390,27 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Full fuzzy-dedup clustering: LSH candidates → verify → connected
+    components (large-star/small-star, ccspark.graph) → keep-one.  Two
+    copies are planted per doc_id<30 (+10000, +20000), so every planted
+    cluster is {d, d+10000, d+20000} with representative d; the oracle
+    is that closed-form cluster table (base texts are md5-distinct —
+    the invariant q_minhash_lsh already gates)."""
+    from ccspark import dedup
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 500").select("doc_id", "text")
+    planted = docs.filter("doc_id < 30")
+    u = docs.unionByName(
+        planted.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    ).unionByName(planted.select((F.col("doc_id") + 20000).alias("doc_id"), "text"))
+    return (
+        dedup.dedup_clusters(u, "doc_id", "text", verify="exact")
+        .filter(F.col("cluster_size") > 1)
+        .select("doc_id", "cluster_id", "cluster_size", "is_rep")
+    )
+
+
 # Planted near-dup texts with PRECOMPUTED simhash hamming distances
 # (single-token edits of a fixed base; hammings verified against the
 # golden-gated simhash port at authoring time).  Pairwise: (0,1)=1,
@@ -1490,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_binary_meta": q_binary_meta,
         "q_langid": q_langid,
         "q_minhash_lsh": q_minhash_lsh,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_simhash_dup": q_simhash_dup,
         "q_doc_fingerprint": q_doc_fingerprint,
@@ -1674,6 +1696,14 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": (
             "SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS est_jaccard "
             "FROM documents WHERE doc_id < 50"
+        ),
+        "q_dedup_clusters": (
+            "SELECT doc_id, doc_id AS cluster_id, CAST(3 AS BIGINT) AS cluster_size, "
+            "TRUE AS is_rep FROM documents WHERE doc_id < 30 "
+            "UNION ALL SELECT doc_id + 10000, doc_id, CAST(3 AS BIGINT), FALSE "
+            "FROM documents WHERE doc_id < 30 "
+            "UNION ALL SELECT doc_id + 20000, doc_id, CAST(3 AS BIGINT), FALSE "
+            "FROM documents WHERE doc_id < 30"
         ),
         "q_simhash_dup": (
             "SELECT doc_id AS id_a, doc_id + 20000 AS id_b, 0 AS hamming "

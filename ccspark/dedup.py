@@ -333,3 +333,78 @@ def substring_dup_counts(
             F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster dedup: LSH candidates → verify → connected components → keep-one
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 1,
+    min_est_jaccard: float = 0.999,
+    verify: str = "exact",
+) -> DataFrame:
+    """Full fuzzy-dedup clustering: MinHash-LSH candidate pairs →
+    verification → connected components → one representative (minimum
+    id) per duplicate cluster.
+
+    Near-dup similarity is not transitive, so pairwise output alone
+    cannot answer "which rows do I drop": A~B and B~C must fold into
+    one {A,B,C} cluster even when A~C was never a candidate pair.  The
+    clustering is :func:`ccspark.graph.connected_components`
+    (large-star/small-star — O(log n) shuffle rounds, no driver-side
+    union-find), so the whole pipeline stays equi-join/groupBy shaped
+    at corpus scale.
+
+    ``verify``: ``"exact"`` keeps only candidate pairs whose texts are
+    md5-identical (exact-dup clusters through an LSH recall path —
+    independently reproducible by any SQL engine, the oracle mode);
+    ``"estimate"`` keeps pairs with est_jaccard ≥ ``min_est_jaccard``
+    (the production fuzzy mode).
+
+    Output: one row per input document —
+    ``(id_col, cluster_id, cluster_size, is_rep)``; singletons are
+    their own cluster with size 1.
+    """
+    from .graph import connected_components
+
+    cands = minhash_candidates(
+        df, id_col, text_col, n_hashes=n_hashes, bands=bands, shingle_k=shingle_k, seed=seed
+    ).filter(F.col("est_jaccard") >= min_est_jaccard)
+    if verify == "exact":
+        ha = df.select(F.col(id_col).alias("id_a"), F.md5(text_col).alias("md5_a"))
+        hb = df.select(F.col(id_col).alias("id_b"), F.md5(text_col).alias("md5_b"))
+        edges = (
+            cands.join(ha, "id_a")
+            .join(hb, "id_b")
+            .filter(F.col("md5_a") == F.col("md5_b"))
+            .select("id_a", "id_b")
+        )
+    elif verify == "estimate":
+        edges = cands.select("id_a", "id_b")
+    else:
+        raise ValueError(f"unknown verify mode {verify!r}")
+
+    comp = connected_components(edges, "id_a", "id_b")
+    labeled = (
+        df.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("cluster_id"))
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labeled.join(sizes, "cluster_id")
+        .select(
+            F.col("node").alias(id_col),
+            "cluster_id",
+            "cluster_size",
+            (F.col("node") == F.col("cluster_id")).alias("is_rep"),
+        )
+    )
