@@ -390,6 +390,25 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (ccspark.graph.pagerank) — the crawl
+    authority-prioritization signal — over a deterministic synthetic
+    link graph on doc ids: src=doc_id<400, dst=(doc_id*37+11)%200.
+    Every node has out-degree ≥1 (dst < 200 < 400), so the oracle can
+    omit the dangling-mass term; 3 unrolled power iterations in SQL."""
+    from ccspark.graph import pagerank
+
+    edges = (
+        _load(spark, sf_dir, "documents")
+        .filter("doc_id < 400")
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 37 + 11) % 200).alias("dst"),
+        )
+    )
+    return pagerank(edges, iters=3).select(F.col("node").alias("doc_id"), "rank")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Full fuzzy-dedup clustering: LSH candidates → verify → connected
     components (large-star/small-star, ccspark.graph) → keep-one.  Two
@@ -1512,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_minhash_lsh": q_minhash_lsh,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_pagerank": q_pagerank,
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_simhash_dup": q_simhash_dup,
         "q_doc_fingerprint": q_doc_fingerprint,
@@ -1696,6 +1716,30 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": (
             "SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS est_jaccard "
             "FROM documents WHERE doc_id < 50"
+        ),
+        "q_pagerank": (
+            "WITH edges AS (SELECT doc_id AS s, (doc_id*37+11)%200 AS d "
+            "  FROM documents WHERE doc_id < 400), "
+            "nodes AS (SELECT s AS node FROM edges UNION SELECT d FROM edges), "
+            "params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+            "deg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY s), "
+            "r0 AS (SELECT node, 1.0/(SELECT n FROM params) AS rank FROM nodes), "
+            "i1 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
+            "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
+            "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
+            "  LEFT JOIN r0 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
+            "  GROUP BY nd.node), "
+            "i2 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
+            "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
+            "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
+            "  LEFT JOIN i1 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
+            "  GROUP BY nd.node), "
+            "i3 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
+            "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
+            "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
+            "  LEFT JOIN i2 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
+            "  GROUP BY nd.node) "
+            "SELECT node AS doc_id, ROUND(rank, 10) AS rank FROM i3"
         ),
         "q_dedup_clusters": (
             "SELECT doc_id, doc_id AS cluster_id, CAST(3 AS BIGINT) AS cluster_size, "

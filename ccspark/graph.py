@@ -142,3 +142,83 @@ def connected_components(
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce("component", "node").alias("component")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the classic
+    crawl-frontier prioritization signal (authority-ordered fetch, the
+    OPIC/PageRank ordering family): feed the result in as the
+    ``priority`` column of the politeness scheduler to fetch
+    high-authority hosts first.
+
+    Exact semantics (mirrored by the SQL oracle):
+    nodes = distinct(src ∪ dst); rank₀ = 1/N;
+    rankᵢ₊₁(v) = (1-d)/N + d·(Σ_{u→v} rankᵢ(u)/outdeg(u) + D/N)
+    where D = Σ rankᵢ(u) over dangling nodes (outdeg 0) — dangling mass
+    is redistributed uniformly, so Σ rank = 1 at every iteration.
+
+    A fixed ``iters`` (not convergence-driven) keeps the operator a
+    deterministic, oracle-checkable plan: per iteration one shuffle on
+    ``src`` (rank→edge join), one on ``dst`` (contribution groupBy),
+    and a broadcast-sized 1-row dangling aggregate.  Parallel edges
+    are counted per-copy (multigraph semantics); self-loops count like
+    any edge.
+
+    Returns ``(node, rank)`` with rank rounded to 10 decimal places
+    (stabilizes float association order across partitionings).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    ).where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    outdeg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
+    # static per-node frame: (node, outdeg) — outdeg 0 marks dangling
+    base = nodes.join(outdeg, "node", "left").select(
+        "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+    ).localCheckpoint(eager=True)
+
+    ranks = base.select("node", "outdeg", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        dangling = (
+            ranks.where(F.col("outdeg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        contribs = (
+            e.join(
+                ranks.where(F.col("outdeg") > 0).select(
+                    F.col("node").alias("s"), (F.col("rank") / F.col("outdeg")).alias("c")
+                ),
+                "s",
+            )
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("dmass") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 10).alias("rank"))

@@ -164,3 +164,67 @@ def test_dedup_clusters_all_rows_partitioned_counts(spark):
         F.sum("cluster_size")
     ).collect()[0][0]
     assert sizes == 14
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def _ref_pagerank(edges, iters=3, d=0.85):
+    """Pure-Python reference implementation (dangling redistribution)."""
+    from collections import Counter, defaultdict
+
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out = Counter(u for u, _ in edges)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(r[v] for v in nodes if out[v] == 0)
+        inflow = defaultdict(float)
+        for u, v in edges:
+            inflow[v] += r[u] / out[u]
+        r = {v: (1.0 - d) / n + d * (inflow[v] + dm / n) for v in nodes}
+    return r
+
+
+def _pr(spark, edges, iters=3):
+    from ccspark.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    ).repartition(4)
+    return {r["node"]: r["rank"] for r in pagerank(df, iters=iters).collect()}
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_pagerank_vs_reference(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(60))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(200)]
+    # force some dangling nodes: 55-59 receive edges but never emit
+    edges = [(a, b) for a, b in edges if a < 55] + [(1, 57), (2, 58)]
+    want = _ref_pagerank(edges)
+    got = _pr(spark, edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+
+
+def test_pagerank_mass_conserved_and_partition_invariant(spark):
+    rng = random.Random(3)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    got4 = _pr(spark, edges)
+    assert abs(sum(got4.values()) - 1.0) < 1e-8
+    from ccspark.graph import pagerank
+
+    df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    got1 = {r["node"]: r["rank"] for r in pagerank(df1).collect()}
+    assert got1 == got4  # rounded to 10dp: exact equality across layouts
+
+
+def test_pagerank_empty(spark):
+    from ccspark.graph import pagerank
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).count() == 0
