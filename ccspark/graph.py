@@ -10,7 +10,9 @@ bounded number of shuffle rounds, not a sequential union-find.
 This module implements the alternating **large-star / small-star**
 algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
 "Connected Components in MapReduce and Beyond", SoCC 2014): every
-iteration is two groupBy-shuffles on node id, and the edge set provably
+iteration is a bounded handful of equi-shuffles on node id / edge key
+(min-aggregation, join-back, dedup — all linear in |E|, no all-pairs
+step), and the edge set provably
 converges in O(log² n) rounds (O(log n) in practice) to a star graph
 where every node points at its component's minimum id.  Each step, on
 the undirected edge set E:
@@ -95,6 +97,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Component label (= minimum member id) for every node that appears
     in ``edges``.
@@ -103,11 +106,13 @@ def connected_components(
     (undirected; orientation, duplicates and self-loops are all fine).
     Output: ``(node, component)`` — one row per distinct node.
 
-    Cost shape: every iteration is two groupBy-shuffles keyed on node
-    id plus one ≤16-byte-per-group aggregate for the convergence probe;
-    iteration count is O(log n) in component diameter, independent of
-    cluster size — the property that makes this runnable over billions
-    of verified near-dup pairs.
+    Cost shape: every iteration is a fixed number of equi-shuffles
+    keyed on node id / edge pair (each linear in the edge count) plus
+    one 16-byte aggregate for the convergence probe; iteration count is
+    O(log n) in component diameter, independent of cluster size — the
+    property that makes this runnable over billions of verified
+    near-dup pairs (measured: 2M dedup-shaped edges → 966k components
+    in 5 alternations, BENCH/cc_scale_r5.json).
     """
     raw = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
@@ -124,17 +129,21 @@ def connected_components(
 
     prev_fp = _fingerprint(cur)
     converged = prev_fp[0] == 0
+    iters = 0
     for _ in range(max_iter):
         if converged:
             break
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         fp = _fingerprint(nxt)
         cur = nxt
+        iters += 1
         if fp == prev_fp:
             converged = True
         prev_fp = fp
     if not converged:
         raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    if stats is not None:
+        stats["iterations"] = iters
 
     # at the fixpoint the canonical edge set is a star per component:
     # every node's minimum neighbor IS the component minimum
