@@ -292,40 +292,27 @@ def scan_arc_stream(
     blocks, ARCFileReader.java:86-106)."""
     from . import sources
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.arc.gz")
-        .load(path_glob)
-        .select("path")
-        .repartition("path")  # one file per task, like the 1-file InputFormat
-    )
-
-    cols = [
-        "url",
+    return sources.scan_archive_stream(
+        spark,
+        path_glob,
+        "*.arc.gz",
+        read_arc_stream,
         "arc_file",
-        "arc_offset",
-        "host_ip",
-        "warc_ts",
-        "mime",
-        "record_len",
-        "headers",
-        "payload",
-    ]
-
-    def _decode(batches):
-        for pdf in batches:
-            for path in pdf["path"]:
-                rows = []
-                with sources.open_stream(path) as fh:
-                    for rec in read_arc_stream(fh, arc_file=path, chunk_bytes=chunk_bytes):
-                        rows.append(rec)
-                        if len(rows) >= max_batch_rows:
-                            yield pd.DataFrame(rows, columns=cols)
-                            rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
-
-    return files.mapInPandas(_decode, schema=RECORD_SCHEMA)
+        [
+            "url",
+            "arc_file",
+            "arc_offset",
+            "host_ip",
+            "warc_ts",
+            "mime",
+            "record_len",
+            "headers",
+            "payload",
+        ],
+        RECORD_SCHEMA,
+        chunk_bytes=chunk_bytes,
+        max_batch_rows=max_batch_rows,
+    )
 
 
 def with_decoded_text(df: DataFrame) -> DataFrame:

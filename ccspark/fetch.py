@@ -51,6 +51,7 @@ def fetch_batch(
     delay_ms: int = 0,
     hosts=None,
     delays_ms=None,
+    last_at: dict | None = None,
 ) -> pd.DataFrame:
     """Fetch each URL; returns (status, content_type, html, final_url,
     fetch_err) aligned with the input.  HTTP errors are DATA (status +
@@ -62,14 +63,18 @@ def fetch_batch(
     requests are spaced ``max(delay_ms, delays_ms[i])`` milliseconds
     apart (``delays_ms`` = per-row crawl delay, e.g. robots
     Crawl-delay); without ``hosts``, ``delay_ms`` spaces consecutive
-    requests of the batch."""
+    requests of the batch.  ``last_at`` (host → monotonic time of its
+    last request) lets a caller carry the spacing state ACROSS batches
+    — fetch_pages passes one dict per task so a host split over
+    several Arrow batches still gets its delay at the seam."""
     import time
     import urllib.error
     import urllib.request
 
     host_list = list(hosts) if hosts is not None else None
     delay_list = list(delays_ms) if delays_ms is not None else None
-    last_at: dict = {}  # host -> monotonic time of its last request
+    if last_at is None:
+        last_at = {}
     status, ctype, body_col, final, err = [], [], [], [], []
     for i, u in enumerate(urls):
         row_delay = delay_ms
@@ -134,11 +139,13 @@ def fetch_pages(
     has_delay = delay_col in df.columns
 
     def _fetch(batches):
+        last_at: dict = {}  # task-scoped: spacing survives Arrow batch seams
         for pdf in batches:
             fetched = fetch_batch(
                 pdf[url_col],
                 hosts=pdf[host_col] if has_host else None,
                 delays_ms=pdf[delay_col] if has_delay else None,
+                last_at=last_at,
                 **fetch_kw,
             )
             yield pd.concat(
@@ -232,6 +239,12 @@ def fetch_robots(
             rows.append((host, prefixes, delay_ms, default_budget))
         elif st is not None and 400 <= st < 500:
             continue  # unavailable robots → default-allow (no row)
+        elif st is not None and 300 <= st < 400:
+            # urllib auto-follows redirects; a surviving 3xx means the
+            # redirect limit was exceeded (loop) — RFC 9309 §2.3.1.2
+            # says MAY assume unavailable after ≥5 hops, and §2.3.1.3
+            # unavailable → allow (no row), NOT unreachable-disallow
+            continue
         else:
             # unreachable (5xx / transport / non-HTTP status): complete
             # disallow — every path starts with "/", so one prefix rules

@@ -114,9 +114,15 @@ def connected_components(
     near-dup pairs (measured: 2M dedup-shaped edges → 966k components
     in 5 alternations, BENCH/cc_scale_r5.json).
     """
-    raw = edges.select(
-        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    ).where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    raw = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        # materialized once — consumed by both the canonical edge set
+        # and the node universe; the upstream plan may be expensive
+        .localCheckpoint(eager=True)
+    )
     cur = _canon(raw).localCheckpoint(eager=True)
     # nodes from the RAW edges: a node whose only mention is a
     # self-loop is still present (as its own singleton component)
@@ -182,9 +188,15 @@ def pagerank(
     Returns ``(node, rank)`` with rank rounded to 10 decimal places
     (stabilizes float association order across partitionings).
     """
-    e = edges.select(
-        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
-    ).where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        # materialized once: the edge list is re-joined every iteration,
+        # and its upstream plan (e.g. verified LSH pairs) may be expensive
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))

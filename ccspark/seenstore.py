@@ -60,23 +60,43 @@ def _cache_budget() -> int:
 
 # -- filesystem resolution (object-store paths) --------------------------------
 
-_FS_CACHE: dict = {}  # per-process: uri-prefix / factory-id -> FileSystem
+_FS_CACHE: dict = {}  # per-process: (scheme, authority) -> (FileSystem, keeps_authority)
+
+
+def _from_uri(path: str):
+    """pyarrow FileSystem.from_uri behind a module-level indirection
+    (the pyarrow class is an immutable extension type, unpatchable in
+    tests)."""
+    import pyarrow.fs as pafs
+
+    return pafs.FileSystem.from_uri(path)
 
 
 def _fs_for_uri(path: str):
     """(FileSystem, fs-relative path) for a ``scheme://`` URI, cached per
-    scheme+authority so S3/HDFS clients are built once per worker."""
-    import pyarrow.fs as pafs
+    scheme+authority so S3/HDFS clients are built once per worker.
 
+    Path-mapping caveat: ``FileSystem.from_uri`` KEEPS the authority in
+    the returned path for bucket-addressed stores (s3://bucket/k →
+    'bucket/k') but FOLDS it into the client for host-addressed ones
+    (hdfs://nn:8020/state → '/state').  The first resolution for a
+    (scheme, authority) records which convention applies and later
+    paths are mapped the same way — returning the raw authority-
+    prefixed rest for HDFS would silently list a nonexistent path."""
     scheme, _, rest = path.partition("://")
     authority = rest.split("/", 1)[0]
     key = (scheme, authority)
-    fs = _FS_CACHE.get(key)
-    if fs is None:
-        fs, _ = pafs.FileSystem.from_uri(path)
-        _FS_CACHE[key] = fs
-    # from_uri strips the scheme; the fs-relative path keeps the authority
-    return fs, rest
+    hit = _FS_CACHE.get(key)
+    if hit is None:
+        fs, fs_path = _from_uri(path)
+        keeps_authority = fs_path.lstrip("/").startswith(authority) if authority else True
+        _FS_CACHE[key] = (fs, keeps_authority)
+        return fs, fs_path
+    fs, keeps_authority = hit
+    if keeps_authority:
+        return fs, rest
+    tail = rest[len(authority):]
+    return fs, tail if tail.startswith("/") else "/" + tail
 
 
 def _read_parquet(path: str, columns, fs=None):

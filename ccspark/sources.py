@@ -68,6 +68,47 @@ def open_stream(path: str):
     return open(p, "rb")
 
 
+def scan_archive_stream(
+    spark,
+    path_glob: str,
+    glob_filter: str,
+    read_stream,
+    path_kw: str,
+    cols: list[str],
+    schema: str,
+    chunk_bytes: int = 1 << 20,
+    max_batch_rows: int = 1000,
+) -> DataFrame:
+    """Shared distributed streamed-archive scan: a paths-only binaryFile
+    listing (content column pruned) fans out one file per task; each
+    task walks its archive incrementally via ``read_stream(fh,
+    <path_kw>=path, chunk_bytes=...)`` — bounded chunk reads, record
+    rows emitted in ≤``max_batch_rows`` pandas batches.  The ARC and
+    WARC scans delegate here with their reader + schema."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob_filter)
+        .load(path_glob)
+        .select("path")
+        .repartition("path")  # one file per task, like the 1-file InputFormat
+    )
+
+    def _decode(batches):
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows = []
+                with open_stream(path) as fh:
+                    for rec in read_stream(fh, **{path_kw: path}, chunk_bytes=chunk_bytes):
+                        rows.append(rec)
+                        if len(rows) >= max_batch_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(_decode, schema=schema)
+
+
 RANGE_SCHEMA = "path string, offset long, length long, data binary, error string"
 
 

@@ -284,6 +284,18 @@ def gen_robots(spark, n_hosts: int, seed: int = 42):
     # schedule_round's gate join requires one row per host (a duplicate
     # would fan out candidates into duplicate seen identities)
     assert pdf["host"].is_unique, "robots table must have one row per host"
+    # nullable Int64 → object ints/None: Spark's NON-arrow fallback
+    # converter rejects the floats pandas otherwise produces for NA
+    # columns (arrow-enabled sessions accepted either; sessions built
+    # outside build_session must work too)
+    delays = pdf["crawl_delay_ms"]
+    pdf = pdf.assign(
+        crawl_delay_ms=pd.Series(
+            [None if pd.isna(v) else int(v) for v in delays],
+            dtype=object,  # a bare list re-infers float64 (int+None → NaN)
+            index=pdf.index,
+        )
+    )
     return spark.createDataFrame(
         pdf, schema="host string, disallow_prefixes array<string>, crawl_delay_ms long, max_fetches_per_round int"
     )

@@ -55,7 +55,12 @@ def _iter_boxes(data: bytes, start: int, end: int):
 
 
 def _parse_mvhd(data: bytes, s: int, e: int) -> tuple[int, int]:
+    if e - s < 5:
+        raise ValueError("truncated mvhd")
     version = data[s]
+    need = (4 + 28) if version == 1 else (4 + 16)
+    if e - s < need:
+        raise ValueError("truncated mvhd payload")
     if version == 1:
         timescale = struct.unpack_from(">I", data, s + 4 + 16)[0]
         duration = struct.unpack_from(">Q", data, s + 4 + 20)[0]
@@ -68,7 +73,8 @@ def _parse_mvhd(data: bytes, s: int, e: int) -> tuple[int, int]:
 
 
 def _parse_tkhd(data: bytes, s: int, e: int) -> tuple[int, int]:
-    version = data[s]
+    if e - s < 8:
+        raise ValueError("truncated tkhd")
     # width/height are the LAST 8 payload bytes (16.16 fixed) in both
     # versions — offset from the end avoids the v0/v1 field-size split
     w_fixed, h_fixed = struct.unpack_from(">II", data, e - 8)
@@ -173,11 +179,19 @@ def _read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
 
 
 def _iter_ebml(data: bytes, start: int, end: int):
-    """Yield (element_id, payload_start, payload_end) for siblings."""
+    """Yield (element_id, payload_start, payload_end) for siblings.
+
+    An all-ones VINT_DATA is Matroska's "unknown size" (standard for
+    the Segment element in live/streamed output): the element extends
+    to the end of the enclosing scope and has no following siblings."""
     pos = start
     while pos < end:
         eid, pos = _read_vint(data, pos, keep_marker=True)
+        size_start = pos
         size, pos = _read_vint(data, pos, keep_marker=False)
+        if size == (1 << (7 * (pos - size_start))) - 1:  # unknown size
+            yield eid, pos, end
+            return
         if pos + size > end:
             raise ValueError("EBML element overruns scope")
         yield eid, pos, pos + size
@@ -300,9 +314,14 @@ def build_webm(
 
 
 def parse_video_meta(data: bytes) -> dict:
-    """Sniff + parse either container; ValueError if neither."""
-    if len(data) >= 12 and data[4:8] == b"ftyp":
-        return parse_mp4_meta(data)
-    if data.startswith(_EBML_HEADER):
-        return parse_webm_meta(data)
+    """Sniff + parse either container; ValueError for anything
+    unparseable (stray struct/index errors from adversarially
+    truncated headers are folded into the documented contract)."""
+    try:
+        if len(data) >= 12 and data[4:8] == b"ftyp":
+            return parse_mp4_meta(data)
+        if data.startswith(_EBML_HEADER):
+            return parse_webm_meta(data)
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"malformed video container: {ex}") from ex
     raise ValueError("not a recognized video container")

@@ -254,38 +254,25 @@ def scan_warc_stream(
     ~1 GB but nothing enforces it)."""
     from . import sources
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc.gz")
-        .load(path_glob)
-        .select("path")
-        .repartition("path")
-    )
-
-    cols = [
-        "url",
+    return sources.scan_archive_stream(
+        spark,
+        path_glob,
+        "*.warc.gz",
+        read_warc_stream,
         "warc_file",
-        "warc_offset",
-        "warc_type",
-        "warc_ts",
-        "record_id",
-        "content_type",
-        "http_status",
-        "http_headers",
-        "payload",
-    ]
-
-    def _decode(batches):
-        for pdf in batches:
-            for path in pdf["path"]:
-                rows = []
-                with sources.open_stream(path) as fh:
-                    for rec in read_warc_stream(fh, warc_file=path, chunk_bytes=chunk_bytes):
-                        rows.append(rec)
-                        if len(rows) >= max_batch_rows:
-                            yield pd.DataFrame(rows, columns=cols)
-                            rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
-
-    return files.mapInPandas(_decode, schema=RECORD_SCHEMA)
+        [
+            "url",
+            "warc_file",
+            "warc_offset",
+            "warc_type",
+            "warc_ts",
+            "record_id",
+            "content_type",
+            "http_status",
+            "http_headers",
+            "payload",
+        ],
+        RECORD_SCHEMA,
+        chunk_bytes=chunk_bytes,
+        max_batch_rows=max_batch_rows,
+    )

@@ -235,3 +235,54 @@ def test_fetch_batch_per_host_spacing(site):
         urls, timeout=5, hosts=["h1", "h2", "h3"], delays_ms=[None, None, 500]
     )
     assert out2["status"].tolist() == [200, 200, 200]
+
+
+@pytest.fixture(scope="module")
+def robots_redirect_loop_site():
+    class _Loop(SimpleHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(302)
+            self.send_header("Location", "/robots.txt")
+            self.end_headers()
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Loop)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_fetch_robots_redirect_loop_is_unavailable_allow(spark, robots_redirect_loop_site):
+    """RFC 9309 §2.3.1.2: ≥5 redirects → MAY assume unavailable;
+    §2.3.1.3: unavailable → allow.  A redirect-looping robots.txt must
+    NOT emit a disallow-all row (that would permanently retire the
+    host)."""
+    rows = fetch.fetch_robots(spark, [f"{robots_redirect_loop_site}/x"], timeout=5).collect()
+    assert rows == []
+
+
+def test_fetch_batch_spacing_survives_batch_seams(site):
+    """Per-host crawl-delay must hold across Arrow batch boundaries:
+    fetch_pages passes one last_at dict per task, so the last request
+    of batch N and the first of batch N+1 to the same host are still
+    spaced."""
+    import time
+
+    import pandas as pd
+
+    url = f"{site}/index.html"
+    host = ["127.0.0.1"]
+    shared: dict = {}
+    fetch.fetch_batch(pd.Series([url]), timeout=5, hosts=host, delays_ms=[300], last_at=shared)
+    t0 = time.monotonic()
+    fetch.fetch_batch(pd.Series([url]), timeout=5, hosts=host, delays_ms=[300], last_at=shared)
+    assert time.monotonic() - t0 >= 0.25  # spaced ≥ crawl delay (0.3s minus jitter)
+    # and WITHOUT the shared dict the second call is immediate (the old
+    # per-call behavior — proves the state, not the server, spaces it)
+    fetch.fetch_batch(pd.Series([url]), timeout=5, hosts=host, delays_ms=[300])
+    t1 = time.monotonic()
+    fetch.fetch_batch(pd.Series([url]), timeout=5, hosts=host, delays_ms=[300])
+    assert time.monotonic() - t1 < 0.25

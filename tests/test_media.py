@@ -618,3 +618,69 @@ class TestVideoMeta:
         }
         assert (got[1]["width"], got[1]["height"], got[1]["features"][0]) == (320, 240, 5000.0)
         assert (got[2]["width"], got[2]["height"], got[2]["features"][0]) == (640, 480, 2500.0)
+
+
+class TestVideoMetaHardening:
+    def test_webm_unknown_size_segment(self):
+        """Matroska all-ones vint = unknown size (standard in live/
+        streamed muxer output): the Segment extends to EOF and must
+        parse, not raise 'overruns scope'."""
+        import struct
+
+        from ccspark import video
+
+        full = video.build_webm(320, 240, 1500.0)
+        # rebuild with the Segment's size replaced by the unknown vint
+        hdr = video._el(0x1A45DFA3, video._el(video._ID_DOCTYPE, b"webm"))
+        info = video._el(
+            video._ID_INFO, video._el(video._ID_DURATION, struct.pack(">d", 1500.0))
+        )
+        vid = video._el(
+            video._ID_VIDEO,
+            video._el(video._ID_PIXELWIDTH, b"\x01\x40")
+            + video._el(video._ID_PIXELHEIGHT, b"\x00\xf0"),
+        )
+        seg_content = info + video._el(
+            video._ID_TRACKS, video._el(video._ID_TRACKENTRY, vid)
+        )
+        unknown = b"\x01" + b"\xff" * 7  # VINT_DATA all ones, length 8
+        data = hdr + video._ID_SEGMENT.to_bytes(4, "big") + unknown + seg_content
+        m = video.parse_webm_meta(data)
+        assert (m["width"], m["height"], m["duration_ms"]) == (320, 240, 1500.0)
+        # the sized build still parses identically
+        assert video.parse_webm_meta(full)["width"] == 320
+
+    def test_truncated_tkhd_raises_valueerror(self):
+        """A tkhd shorter than 8 bytes must raise ValueError — not read
+        neighboring moov bytes as dimensions, and not escape as
+        struct.error."""
+        import pytest as _pytest
+
+        from ccspark import video
+
+        ftyp = video._box(b"ftyp", b"isom" + b"\x00\x00\x00\x00" + b"isom")
+        mvhd = video._box(
+            b"mvhd",
+            b"\x00\x00\x00\x00"
+            + b"\x00" * 8
+            + (1000).to_bytes(4, "big")
+            + (5000).to_bytes(4, "big"),
+        )
+        short_tkhd = video._box(b"tkhd", b"\x00\x00\x00")  # 3-byte payload
+        moov = video._box(b"moov", mvhd + video._box(b"trak", short_tkhd))
+        with _pytest.raises(ValueError):
+            video.parse_mp4_meta(ftyp + moov)
+        # and via the public dispatcher too
+        with _pytest.raises(ValueError):
+            video.parse_video_meta(ftyp + moov)
+
+    def test_parse_video_meta_wraps_stray_errors(self):
+        import pytest as _pytest
+
+        from ccspark import video
+
+        # ftyp-tagged but garbage after — whatever internal error occurs
+        # must surface as ValueError (the documented contract)
+        junk = b"\x00\x00\x00\x08ftyp" + b"\x00\x00\x00\x09moov"
+        with _pytest.raises(ValueError):
+            video.parse_video_meta(junk)

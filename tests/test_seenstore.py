@@ -275,3 +275,56 @@ def test_filter_blob_merges_multi_file_partitions(tmp_path):
     pq.write_table(t, str(d / "c.parquet"))
     with pytest.raises(AssertionError, match="unmergeable"):
         seenstore.filter_blob(str(tmp_path), 0, 1)
+
+
+def test_fs_for_uri_host_addressed_authority_folding(monkeypatch):
+    """HDFS-style filesystems fold the authority into the client
+    (from_uri('hdfs://nn:8020/state') → path '/state'); the resolver
+    must strip the authority from subsequent paths too — returning the
+    raw 'nn:8020/state' would silently list a nonexistent path and the
+    novelty gate would treat the whole crawl history as unseen."""
+    import pyarrow.fs as pafs
+
+    from ccspark import seenstore
+
+    calls = []
+
+    def fake_from_uri(path):
+        calls.append(path)
+        # emulate HadoopFileSystem: authority folded into the client,
+        # returned path is authority-less
+        rest = path.split("://", 1)[1]
+        return pafs.LocalFileSystem(), rest[len("nn:8020"):] or "/"
+
+    monkeypatch.setattr(seenstore, "_from_uri", fake_from_uri)
+    seenstore._FS_CACHE.clear()
+    fs, p1 = seenstore._fs_for_uri("fakehdfs://nn:8020/state/frontier")
+    assert p1 == "/state/frontier"
+    # cached client: a DIFFERENT path under the same authority must be
+    # authority-stripped the same way (the bug returned 'nn:8020/...')
+    fs2, p2 = seenstore._fs_for_uri("fakehdfs://nn:8020/state/filters/f.parquet")
+    assert fs2 is fs
+    assert p2 == "/state/filters/f.parquet"
+    assert len(calls) == 1  # client built once per (scheme, authority)
+    seenstore._FS_CACHE.clear()
+
+
+def test_fs_for_uri_bucket_addressed_keeps_authority(monkeypatch):
+    """S3-style filesystems keep the bucket in the path
+    (from_uri('s3://bucket/k') → path 'bucket/k'); later paths must NOT
+    be stripped."""
+    import pyarrow.fs as pafs
+
+    from ccspark import seenstore
+
+    def fake_from_uri(path):
+        rest = path.split("://", 1)[1]
+        return pafs.LocalFileSystem(), rest  # bucket kept in path
+
+    monkeypatch.setattr(seenstore, "_from_uri", fake_from_uri)
+    seenstore._FS_CACHE.clear()
+    _fs, p1 = seenstore._fs_for_uri("fakes3://bucket/state/frontier")
+    assert p1 == "bucket/state/frontier"
+    _fs2, p2 = seenstore._fs_for_uri("fakes3://bucket/state/filters/f.parquet")
+    assert p2 == "bucket/state/filters/f.parquet"
+    seenstore._FS_CACHE.clear()
