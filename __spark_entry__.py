@@ -390,6 +390,19 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style char-bigram LM quality scoring (textops.ngram_lm_score):
+    LM fit on doc_id<100, every doc_id<500 scored by avg negative
+    log-likelihood per bigram.  The DuckDB oracle re-fits and re-scores
+    the same add-one model independently; round-6 equality exercises
+    the float contract across engines."""
+    from ccspark import textops
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 500").select("doc_id", "text")
+    ref = docs.filter("doc_id < 100")
+    return textops.ngram_lm_score(docs, ref)
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (ccspark.graph.pagerank) — the crawl
     authority-prioritization signal — over a deterministic synthetic
@@ -1532,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_dedup_clusters": q_dedup_clusters,
         "q_pagerank": q_pagerank,
+        "q_lm_score": q_lm_score,
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_simhash_dup": q_simhash_dup,
         "q_doc_fingerprint": q_doc_fingerprint,
@@ -1716,6 +1730,24 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": (
             "SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS est_jaccard "
             "FROM documents WHERE doc_id < 50"
+        ),
+        "q_lm_score": (
+            "WITH d AS (SELECT doc_id, coalesce(text, '') AS s FROM documents "
+            "  WHERE doc_id < 500), "
+            "ref_bg AS (SELECT unnest([substring(s, i, 2) "
+            "  for i in generate_series(1, length(s) - 1)]) AS bg "
+            "  FROM d WHERE doc_id < 100 AND length(s) >= 2), "
+            "lm AS (SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c FROM ref_bg GROUP BY bg), "
+            "tot AS (SELECT SUM(c) AS n_tokens, CAST(COUNT(*) AS DOUBLE) AS v FROM lm), "
+            "doc_bg AS (SELECT doc_id, unnest([substring(s, i, 2) "
+            "  for i in generate_series(1, length(s) - 1)]) AS bg "
+            "  FROM d WHERE length(s) >= 2), "
+            "scored AS (SELECT db.doc_id, "
+            "  -ln((COALESCE(lm.c, 0.0) + 1.0) / "
+            "      ((SELECT n_tokens FROM tot) + (SELECT v FROM tot) + 1.0)) AS nll "
+            "  FROM doc_bg db LEFT JOIN lm ON lm.bg = db.bg) "
+            "SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(nll), 6) AS avg_nll "
+            "FROM scored GROUP BY doc_id"
         ),
         "q_pagerank": (
             "WITH edges AS (SELECT doc_id AS s, (doc_id*37+11)%200 AS d "

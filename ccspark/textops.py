@@ -332,3 +332,67 @@ def c4_document_gate(
     return df.withColumn("drop_reason", reason).withColumn(
         "keep", F.col("drop_reason").isNull()
     )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: fit a char-bigram
+    add-one LM on a reference corpus, score every document by average
+    negative log-likelihood per bigram (low = reference-like prose,
+    high = gibberish/word-soup — the bucket key CCNet uses to stratify
+    training data by LM perplexity).
+
+    Pure Catalyst end-to-end: the fit is explode→groupBy over the
+    reference's bigrams; scoring is a BROADCAST join of the LM table
+    (char-bigram vocab is tiny — ≤ ~64k entries even for full Latin-1;
+    for word-level LMs swap the broadcast for a shuffle join) and one
+    aggregation per document.
+
+    Model: p(bg) = (c(bg) + 1) / (N + V + 1) with N = total reference
+    bigram tokens, V = observed vocab size; unseen bigrams get
+    1/(N + V + 1).  Documents shorter than 2 chars are dropped (no
+    bigrams to score).  avg_nll is rounded to 6 dp (association-order
+    stability across engines).
+    """
+    bigrams = lambda col: F.explode(  # noqa: E731
+        F.expr(
+            f"transform(sequence(1, length({col}) - 1), i -> substring({col}, i, 2))"
+        )
+    )
+    ref = ref_df.select(F.coalesce(F.col(text_col), F.lit("")).alias("s")).where(
+        F.length("s") >= 2
+    )
+    lm = ref.select(bigrams("s").alias("bg")).groupBy("bg").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = lm.agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    doc_bg = (
+        df.select(
+            F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("s")
+        )
+        .where(F.length("s") >= 2)
+        .select(id_col, bigrams("s").alias("bg"))
+    )
+    scored = (
+        doc_bg.join(F.broadcast(lm), "bg", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.coalesce("c", F.lit(0.0)) + 1.0)
+                    / (F.col("n_tokens") + F.col("v") + 1.0)
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )

@@ -238,3 +238,43 @@ def test_c4_gate_counts_words_across_whitespace_runs(spark):
         ).collect()
     }
     assert got == {1: True, 2: False}
+
+
+# ---------------------------------------------------------------------------
+# ngram LM scoring (CCNet-style quality bucketing)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_lm_score_orders_gibberish_above_prose(spark):
+    from ccspark import textops
+
+    prose = [
+        (i, "the quick brown fox jumps over the lazy dog again and again")
+        for i in range(5)
+    ]
+    test_docs = [
+        (100, "the quick brown fox jumps over the lazy dog"),  # reference-like
+        (101, "zq xv jj qz vx kq wz zz qq xx vv zx qv"),  # gibberish
+        (102, "a"),  # too short: no bigrams -> dropped
+    ]
+    ref = spark.createDataFrame(prose, "doc_id long, text string")
+    docs = spark.createDataFrame(test_docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.ngram_lm_score(docs, ref).collect()}
+    assert set(out) == {100, 101}  # the 1-char doc has no bigrams
+    assert out[101]["avg_nll"] > out[100]["avg_nll"]  # gibberish scores worse
+    assert out[100]["n_bigrams"] == len(test_docs[0][1]) - 1
+
+
+def test_ngram_lm_score_unseen_bigram_floor(spark):
+    """Every unseen bigram gets exactly -ln(1/(N+V+1)) — the add-one
+    floor — so a fully-unseen doc's avg equals that constant."""
+    import math
+
+    from ccspark import textops
+
+    ref = spark.createDataFrame([(0, "aaaa")], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "zzz")], "doc_id long, text string")
+    out = textops.ngram_lm_score(docs, ref).collect()[0]
+    # ref bigrams: 'aa' x3 -> N=3, V=1; unseen p = 1/(3+1+1)
+    assert out["n_bigrams"] == 2
+    assert abs(out["avg_nll"] - round(-math.log(1.0 / 5.0), 6)) < 1e-9
