@@ -390,6 +390,37 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_authority_schedule(spark, sf_dir):
+    """Integration of graph.pagerank with the politeness scheduler
+    shape: host authority (PageRank over the same synthetic link graph
+    as q_pagerank) becomes the priority signal — each candidate's
+    priority is host_rank × n_chars, and the budget window keeps the
+    top-3 per host (authority-ordered fetch, the OPIC/PageRank
+    frontier-prioritization pattern)."""
+    from ccspark.graph import pagerank
+
+    docs = _load(spark, sf_dir, "documents")
+    edges = docs.filter("doc_id < 400").select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 37 + 11) % 200).alias("dst"),
+    )
+    ranks = pagerank(edges, iters=3).select(
+        F.col("node").alias("host"), "rank"
+    )
+    cands = docs.filter("doc_id < 2000").select(
+        "doc_id", (F.col("doc_id") % 200).alias("host"), "n_chars"
+    )
+    prio = cands.join(F.broadcast(ranks), "host").withColumn(
+        "priority", F.round(F.col("rank") * F.col("n_chars"), 10)
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        prio.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("host", "doc_id", "priority", "rn")
+    )
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet-style char-bigram LM quality scoring (textops.ngram_lm_score):
     LM fit on doc_id<100, every doc_id<500 scored by avg negative
@@ -1546,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_pagerank": q_pagerank,
         "q_lm_score": q_lm_score,
+        "q_authority_schedule": q_authority_schedule,
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_simhash_dup": q_simhash_dup,
         "q_doc_fingerprint": q_doc_fingerprint,
@@ -1730,6 +1762,37 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": (
             "SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS est_jaccard "
             "FROM documents WHERE doc_id < 50"
+        ),
+        "q_authority_schedule": (
+            "WITH edges AS (SELECT doc_id AS s, (doc_id*37+11)%200 AS d "
+            "  FROM documents WHERE doc_id < 400), "
+            "nodes AS (SELECT s AS node FROM edges UNION SELECT d FROM edges), "
+            "params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+            "deg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY s), "
+            "r0 AS (SELECT node, 1.0/(SELECT n FROM params) AS rank FROM nodes), "
+            "i1 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
+            "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
+            "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
+            "  LEFT JOIN r0 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
+            "  GROUP BY nd.node), "
+            "i2 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
+            "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
+            "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
+            "  LEFT JOIN i1 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
+            "  GROUP BY nd.node), "
+            "i3 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
+            "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
+            "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
+            "  LEFT JOIN i2 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
+            "  GROUP BY nd.node), "
+            "ranks AS (SELECT node AS host, ROUND(rank, 10) AS rank FROM i3), "
+            "prio AS (SELECT c.doc_id, c.host, ROUND(r.rank * c.n_chars, 10) AS priority "
+            "  FROM (SELECT doc_id, doc_id % 200 AS host, n_chars FROM documents "
+            "        WHERE doc_id < 2000) c JOIN ranks r ON r.host = c.host) "
+            "SELECT host, doc_id, priority, rn FROM "
+            "(SELECT host, doc_id, priority, ROW_NUMBER() OVER "
+            " (PARTITION BY host ORDER BY priority DESC, doc_id) AS rn FROM prio) "
+            "WHERE rn <= 3"
         ),
         "q_lm_score": (
             "WITH d AS (SELECT doc_id, coalesce(text, '') AS s FROM documents "
