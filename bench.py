@@ -8,9 +8,10 @@ Default mode (driver contract): runs the headline queries at
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "frontier_urls_per_sec": ...}
 
-``--scaling`` mode: runs the identical frontier job at local[8] and
-local[32] (fresh subprocess each, same input) and reports throughput at
-both plus efficiency — the BASELINE.json two-cluster-size criterion
+``--scaling`` mode: runs the identical frontier job at two
+parallelism levels (CCSPARK_SCALE_PAIR, default local[4] vs local[16];
+fresh subprocess each, same input) and reports throughput at both plus
+paired efficiency — the BASELINE.json two-cluster-size criterion
 evidenced in-sandbox.
 """
 
@@ -141,7 +142,7 @@ def run_frontier_inproc(spark, ckpt_dir: str | None = None, universe: int | None
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scaling", action="store_true", help="run frontier at local[8] and local[32]")
+    ap.add_argument("--scaling", action="store_true", help="run frontier at two parallelism levels (CCSPARK_SCALE_PAIR, default 4,16)")
     ap.add_argument("--cpus", type=int, default=None, help="(internal) run frontier once at this parallelism")
     args = ap.parse_args()
 
