@@ -62,13 +62,81 @@ class StubTable:
 
 
 class StubCatalog:
-    """name (without catalog prefix is fine) → StubTable"""
+    """name (without catalog prefix is fine) → StubTable
+
+    A warehouse directory with persisted ``_meta.json`` files (one per
+    table, written atomically on every commit) REHYDRATES into a fresh
+    StubCatalog — the cross-process story: a new process (spark-submit
+    resume) reconstructs each table's CURRENT snapshot from its live
+    data files, exactly like a real catalog would.  Only the current
+    snapshot survives a process boundary (time-travel history is
+    in-memory; real Iceberg keeps it, tests that need it run
+    in-process)."""
 
     def __init__(self, catalog: str, warehouse: str | None = None):
         self.catalog = catalog
         self.namespaces: set[str] = set()
         self.tables: dict[str, StubTable] = {}
         self.warehouse = warehouse or tempfile.mkdtemp(prefix="stub_iceberg_wh_")
+        self._rehydrate()
+
+    def persist_meta(self, table_name: str, st: StubTable) -> None:
+        """Atomically persist the table's partitioning + live-file
+        manifest (rel-path keyed) beside its data files."""
+        import json
+
+        d = os.path.join(self.warehouse, *table_name.split("."))
+        os.makedirs(d, exist_ok=True)
+        import base64
+
+        meta = {
+            "partitioning": st.partitioning,
+            # schema persisted so 0-row tables rehydrate too
+            "schema_b64": base64.b64encode(
+                st.current.schema.serialize().to_pybytes()
+            ).decode("ascii"),
+            "manifest": [
+                {**e, "file_path": os.path.relpath(e["file_path"], d)}
+                for e in st.current_manifest.values()
+            ],
+        }
+        tmp = os.path.join(d, f"_meta.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(d, "_meta.json"))
+
+    def _rehydrate(self) -> None:
+        import json
+
+        root = os.path.join(self.warehouse, self.catalog)
+        if not os.path.isdir(root):
+            return
+        for dirpath, _dirs, files in os.walk(root):
+            if "_meta.json" not in files:
+                continue
+            with open(os.path.join(dirpath, "_meta.json")) as fh:
+                meta = json.load(fh)
+            rel = os.path.relpath(dirpath, self.warehouse)
+            table_name = ".".join(rel.split(os.sep))
+            st = StubTable(meta["partitioning"])
+            manifest: dict = {}
+            parts = []
+            for e in meta["manifest"]:
+                path = os.path.join(dirpath, e["file_path"])
+                manifest[path] = {**e, "file_path": path}
+                parts.append(pq.read_table(path))
+            if parts:
+                st.commit(pa.concat_tables(parts), manifest)
+            else:
+                import base64
+
+                schema = pa.ipc.read_schema(
+                    pa.BufferReader(base64.b64decode(meta["schema_b64"]))
+                )
+                st.commit(schema.empty_table(), manifest)
+            self.tables[table_name] = st
+            ns = table_name.rsplit(".", 1)[0]
+            self.namespaces.add(ns)
 
     def owns(self, identifier: str) -> bool:
         return identifier.startswith(self.catalog + ".")
@@ -132,6 +200,7 @@ class _StubWriterV2:
         new = self.df.toArrow()
         t.commit(new, self.cat.write_data_files(self.table, t, new))
         self.cat.tables[self.table] = t
+        self.cat.persist_meta(self.table, t)
 
     def overwrite(self, condition):
         st = self.cat.tables[self.table]
@@ -149,6 +218,7 @@ class _StubWriterV2:
         }
         manifest.update(self.cat.write_data_files(self.table, st, new))
         st.commit(pa.concat_tables([kept, new]), manifest)
+        self.cat.persist_meta(self.table, st)
 
     def append(self):
         st = self.cat.tables[self.table]
@@ -156,6 +226,7 @@ class _StubWriterV2:
         manifest = dict(st.current_manifest)
         manifest.update(self.cat.write_data_files(self.table, st, new))
         st.commit(pa.concat_tables([st.current, new]), manifest)
+        self.cat.persist_meta(self.table, st)
 
     def _materialize(self, arrow: pa.Table):
         return self.spark.createDataFrame(arrow)
@@ -221,6 +292,7 @@ def install(monkeypatch, spark, catalog_name: str, warehouse: str | None = None)
                 )
             }
             st.commit(cur.filter(keep), manifest)
+            cat.persist_meta(m.group(1), st)
             return None
         m = _SQL_COPY.match(query)
         if m and cat.owns(m.group(1)):
@@ -244,6 +316,7 @@ def install(monkeypatch, spark, catalog_name: str, warehouse: str | None = None)
             }
             manifest.update(cat.write_data_files(m.group(1), st, src))
             st.commit(pa.concat_tables([rest, src]), manifest)
+            cat.persist_meta(m.group(1), st)
             return None
         return orig_sql(self, query, *a, **kw)
 

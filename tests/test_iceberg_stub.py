@@ -229,3 +229,41 @@ def test_state_location_incremental_and_resume_invalidation(spark, monkeypatch):
     loc5 = fr.ckpt.state_location()
     new_sig = loc5.sig("processed", 2, 0)
     assert new_sig and new_sig != old_sig
+
+
+def test_cross_process_resume_via_warehouse_rehydration(spark, tmp_path):
+    """A FRESH StubCatalog over an existing warehouse rehydrates every
+    table's current snapshot from its persisted _meta.json + live data
+    files — the cross-process resume story: process 1 runs rounds 1-2
+    and dies; process 2 (fresh catalog object, fresh monkeypatch
+    context) resumes and runs round 3; the final trace and seen set
+    must equal an uninterrupted 3-round run."""
+    wh = str(tmp_path / "wh")
+    seeds_args = (UNIVERSE, N_HOSTS, SEED)
+
+    # "process 1": rounds 1-2
+    with pytest.MonkeyPatch.context() as mp1:
+        install(mp1, spark, "stubcat", wh)
+        fr1 = CrawlFrontier(spark, "iceberg:stubcat.xproc", _cfg())
+        fr1.run(synth.gen_seeds(spark, *seeds_args), 2)
+        assert fr1.ckpt.last_committed_round() == 2
+
+    # "process 2": brand-new stub over the same warehouse; nothing of
+    # process 1's in-memory state survives
+    with pytest.MonkeyPatch.context() as mp2:
+        cat2 = install(mp2, spark, "stubcat", wh)
+        assert "stubcat.xproc.frontier" in cat2.tables  # rehydrated
+        fr2 = CrawlFrontier(spark, "iceberg:stubcat.xproc", _cfg())
+        assert fr2.ckpt.last_committed_round() == 2  # resumes, not restarts
+        fr2.run(None, 3)
+        t_resumed, s_resumed = _trace_seen(fr2, 3)
+
+    # uninterrupted control run
+    with pytest.MonkeyPatch.context() as mp3:
+        install(mp3, spark, "stubcat")
+        fr3 = CrawlFrontier(spark, "iceberg:stubcat.ctrl", _cfg())
+        fr3.run(synth.gen_seeds(spark, *seeds_args), 3)
+        t_ctrl, s_ctrl = _trace_seen(fr3, 3)
+        # control trace uses its own table names; compare content only
+    assert t_resumed == t_ctrl
+    assert s_resumed == s_ctrl
