@@ -1615,6 +1615,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Shared DuckDB CTE chain: the 3-iteration PageRank both q_pagerank and
+# q_authority_schedule oracles re-derive (ONE definition — a drift
+# between the two would send the parity suite chasing a phantom engine
+# bug; the demo graph has no dangling nodes, so the dmass term the
+# Spark operator supports is provably zero here and the SQL omits it)
+_PAGERANK_CTES = (
+    "edges AS (SELECT doc_id AS s, (doc_id*37+11)%200 AS d "
+    "  FROM documents WHERE doc_id < 400), "
+    "nodes AS (SELECT s AS node FROM edges UNION SELECT d FROM edges), "
+    "params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+    "deg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY s), "
+    "r0 AS (SELECT node, 1.0/(SELECT n FROM params) AS rank FROM nodes), "
+    "i1 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
+    "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
+    "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
+    "  LEFT JOIN r0 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
+    "  GROUP BY nd.node), "
+    "i2 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
+    "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
+    "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
+    "  LEFT JOIN i1 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
+    "  GROUP BY nd.node), "
+    "i3 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
+    "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
+    "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
+    "  LEFT JOIN i2 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
+    "  GROUP BY nd.node)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_scan_filter": (
@@ -1764,27 +1794,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id < 50"
         ),
         "q_authority_schedule": (
-            "WITH edges AS (SELECT doc_id AS s, (doc_id*37+11)%200 AS d "
-            "  FROM documents WHERE doc_id < 400), "
-            "nodes AS (SELECT s AS node FROM edges UNION SELECT d FROM edges), "
-            "params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
-            "deg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY s), "
-            "r0 AS (SELECT node, 1.0/(SELECT n FROM params) AS rank FROM nodes), "
-            "i1 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
-            "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
-            "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
-            "  LEFT JOIN r0 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
-            "  GROUP BY nd.node), "
-            "i2 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
-            "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
-            "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
-            "  LEFT JOIN i1 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
-            "  GROUP BY nd.node), "
-            "i3 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
-            "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
-            "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
-            "  LEFT JOIN i2 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
-            "  GROUP BY nd.node), "
+            "WITH " + _PAGERANK_CTES + ", "
             "ranks AS (SELECT node AS host, ROUND(rank, 10) AS rank FROM i3), "
             "prio AS (SELECT c.doc_id, c.host, ROUND(r.rank * c.n_chars, 10) AS priority "
             "  FROM (SELECT doc_id, doc_id % 200 AS host, n_chars FROM documents "
@@ -1813,27 +1823,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored GROUP BY doc_id"
         ),
         "q_pagerank": (
-            "WITH edges AS (SELECT doc_id AS s, (doc_id*37+11)%200 AS d "
-            "  FROM documents WHERE doc_id < 400), "
-            "nodes AS (SELECT s AS node FROM edges UNION SELECT d FROM edges), "
-            "params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
-            "deg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY s), "
-            "r0 AS (SELECT node, 1.0/(SELECT n FROM params) AS rank FROM nodes), "
-            "i1 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
-            "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
-            "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
-            "  LEFT JOIN r0 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
-            "  GROUP BY nd.node), "
-            "i2 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
-            "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
-            "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
-            "  LEFT JOIN i1 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
-            "  GROUP BY nd.node), "
-            "i3 AS (SELECT nd.node, (1.0-0.85)/(SELECT n FROM params) "
-            "  + 0.85*COALESCE(SUM(r.rank/dg.outdeg), 0.0) AS rank "
-            "  FROM nodes nd LEFT JOIN edges e ON e.d = nd.node "
-            "  LEFT JOIN i2 r ON r.node = e.s LEFT JOIN deg dg ON dg.s = e.s "
-            "  GROUP BY nd.node) "
+            "WITH " + _PAGERANK_CTES + " "
             "SELECT node AS doc_id, ROUND(rank, 10) AS rank FROM i3"
         ),
         "q_dedup_clusters": (

@@ -76,27 +76,38 @@ def _fs_for_uri(path: str):
     """(FileSystem, fs-relative path) for a ``scheme://`` URI, cached per
     scheme+authority so S3/HDFS clients are built once per worker.
 
-    Path-mapping caveat: ``FileSystem.from_uri`` KEEPS the authority in
-    the returned path for bucket-addressed stores (s3://bucket/k →
-    'bucket/k') but FOLDS it into the client for host-addressed ones
-    (hdfs://nn:8020/state → '/state').  The first resolution for a
-    (scheme, authority) records which convention applies and later
-    paths are mapped the same way — returning the raw authority-
-    prefixed rest for HDFS would silently list a nonexistent path."""
+    Path-mapping caveat: ``FileSystem.from_uri`` KEEPS part of the
+    authority in the returned path for bucket-addressed stores
+    (s3://bucket/k → 'bucket/k'; credentialed s3://u:p@bucket/k also
+    → 'bucket/k') but FOLDS it into the client for host-addressed
+    ones (hdfs://nn:8020/state → '/state').  The first resolution for
+    a (scheme, authority) records the PREFIX from_uri puts before the
+    URI's path part; later paths under the same authority get the
+    same prefix — a naive keep/strip-the-authority rule mis-addresses
+    one of the conventions and the gate would silently list a
+    nonexistent path (treating the whole crawl history as unseen)."""
     scheme, _, rest = path.partition("://")
     authority = rest.split("/", 1)[0]
     key = (scheme, authority)
     hit = _FS_CACHE.get(key)
     if hit is None:
         fs, fs_path = _from_uri(path)
-        keeps_authority = fs_path.lstrip("/").startswith(authority) if authority else True
-        _FS_CACHE[key] = (fs, keeps_authority)
+        path_part = rest[len(authority):]  # "/a/b" or ""
+        if path_part and fs_path.endswith(path_part):
+            prefix = fs_path[: -len(path_part)]
+        elif path_part and fs_path.endswith(path_part.lstrip("/")):
+            stripped = path_part.lstrip("/")
+            prefix = fs_path[: -len(stripped)].rstrip("/")
+        else:  # root URI (no path part): the whole fs_path is the prefix
+            prefix = fs_path
+        _FS_CACHE[key] = (fs, prefix)
         return fs, fs_path
-    fs, keeps_authority = hit
-    if keeps_authority:
-        return fs, rest
+    fs, prefix = hit
     tail = rest[len(authority):]
-    return fs, tail if tail.startswith("/") else "/" + tail
+    if not tail:
+        return fs, prefix or "/"
+    base = prefix.rstrip("/")
+    return fs, base + (tail if tail.startswith("/") else "/" + tail)
 
 
 def _read_parquet(path: str, columns, fs=None):

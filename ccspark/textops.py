@@ -369,6 +369,15 @@ def ngram_lm_score(
     lm = ref.select(bigrams("s").alias("bg")).groupBy("bg").agg(
         F.count(F.lit(1)).cast("double").alias("c")
     )
+    # fail loudly on an unfittable reference — otherwise n_tokens is
+    # NULL and every document scores avg_nll=NULL with no signal that
+    # the model was never fit (a curation pipeline would silently
+    # bucket/drop everything)
+    if lm.limit(1).count() == 0:
+        raise ValueError(
+            "ngram_lm_score: reference corpus has no scoreable text "
+            "(every row null/empty/shorter than 2 chars)"
+        )
     tot = lm.agg(
         F.sum("c").alias("n_tokens"), F.count(F.lit(1)).cast("double").alias("v")
     )

@@ -183,13 +183,19 @@ def _iter_ebml(data: bytes, start: int, end: int):
 
     An all-ones VINT_DATA is Matroska's "unknown size" (standard for
     the Segment element in live/streamed output): the element extends
-    to the end of the enclosing scope and has no following siblings."""
+    to the end of the enclosing scope and has no following siblings.
+    Per the EBML spec unknown size is only valid for MASTER elements —
+    on a leaf (e.g. a corrupt PixelWidth size byte 0xFF) it is
+    malformed input, not license to swallow the rest of the scope as
+    one giant integer."""
     pos = start
     while pos < end:
         eid, pos = _read_vint(data, pos, keep_marker=True)
         size_start = pos
         size, pos = _read_vint(data, pos, keep_marker=False)
         if size == (1 << (7 * (pos - size_start))) - 1:  # unknown size
+            if eid not in _CONTAINERS:
+                raise ValueError("unknown-size vint on non-master EBML element")
             yield eid, pos, end
             return
         if pos + size > end:

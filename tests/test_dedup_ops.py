@@ -278,3 +278,14 @@ def test_ngram_lm_score_unseen_bigram_floor(spark):
     # ref bigrams: 'aa' x3 -> N=3, V=1; unseen p = 1/(3+1+1)
     assert out["n_bigrams"] == 2
     assert abs(out["avg_nll"] - round(-math.log(1.0 / 5.0), 6)) < 1e-9
+
+
+def test_ngram_lm_score_empty_reference_raises(spark):
+    import pytest as _pytest
+
+    from ccspark import textops
+
+    ref = spark.createDataFrame([(0, ""), (1, "x"), (2, None)], "doc_id long, text string")
+    docs = spark.createDataFrame([(9, "hello world")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no scoreable text"):
+        textops.ngram_lm_score(docs, ref)

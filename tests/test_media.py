@@ -684,3 +684,24 @@ class TestVideoMetaHardening:
         junk = b"\x00\x00\x00\x08ftyp" + b"\x00\x00\x00\x09moov"
         with _pytest.raises(ValueError):
             video.parse_video_meta(junk)
+
+
+def test_webm_unknown_size_on_leaf_element_raises():
+    """Per the EBML spec unknown size is only valid for master
+    elements: a corrupt PixelWidth with size byte 0xFF must raise, not
+    read the rest of the scope as one giant integer."""
+    import pytest as _pytest
+
+    from ccspark import video
+
+    hdr = video._el(0x1A45DFA3, video._el(video._ID_DOCTYPE, b"webm"))
+    bad_vid = video._el(
+        video._ID_VIDEO,
+        video._ID_PIXELWIDTH.to_bytes(1, "big") + b"\xff" + b"\x01\x40\x00\xf0",
+    )
+    seg = video._el(
+        video._ID_SEGMENT,
+        video._el(video._ID_TRACKS, video._el(video._ID_TRACKENTRY, bad_vid)),
+    )
+    with _pytest.raises(ValueError):
+        video.parse_webm_meta(hdr + seg)

@@ -328,3 +328,27 @@ def test_fs_for_uri_bucket_addressed_keeps_authority(monkeypatch):
     _fs2, p2 = seenstore._fs_for_uri("fakes3://bucket/state/filters/f.parquet")
     assert p2 == "bucket/state/filters/f.parquet"
     seenstore._FS_CACHE.clear()
+
+
+def test_fs_for_uri_credentialed_bucket_prefix(monkeypatch):
+    """Credentialed bucket URIs (s3://user:pass@bucket/k): from_uri
+    drops the userinfo but KEEPS the bucket in the path.  The recorded
+    prefix must be 'bucket', not a boolean keep/strip of the whole
+    authority (which would strip the bucket from later paths)."""
+    import pyarrow.fs as pafs
+
+    from ccspark import seenstore
+
+    def fake_from_uri(path):
+        rest = path.split("://", 1)[1]
+        authority = rest.split("/", 1)[0]
+        bucket = authority.rsplit("@", 1)[-1]
+        return pafs.LocalFileSystem(), bucket + rest[len(authority):]
+
+    monkeypatch.setattr(seenstore, "_from_uri", fake_from_uri)
+    seenstore._FS_CACHE.clear()
+    _fs, p1 = seenstore._fs_for_uri("fakes3c://u:p@bucket/state/frontier")
+    assert p1 == "bucket/state/frontier"
+    _fs2, p2 = seenstore._fs_for_uri("fakes3c://u:p@bucket/state/filters/f.parquet")
+    assert p2 == "bucket/state/filters/f.parquet"
+    seenstore._FS_CACHE.clear()
