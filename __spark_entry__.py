@@ -64,10 +64,9 @@ def entry(spark: SparkSession) -> DataFrame:
     agg — the crawl-identity core of SURVEY.md §7 step 3)."""
     sf_dir = "/root/testdata/sf0.001"
     pages = _doc_pages(spark, sf_dir)
-    df = CF.with_canonical_urlfp(pages)
+    df = CF.with_canonical_urlfp(pages, with_host=True)
     return (
         df.filter("url_valid")
-        .withColumn("host", CF.url_host(F.col("canonical_url")))
         .groupBy("host")
         .agg(
             F.countDistinct("domain_hash", "url_hash").alias("n_urls"),
@@ -215,11 +214,15 @@ def q_urlfp_dedup(spark, sf_dir):
     """P2/P3/H1/H2 end-to-end: canonicalize + URLFPV2 dedup per host.
     Oracle-checkable because the url derivation is deterministic: the
     canonical identity of each messy url is exactly its (source, doc_id)."""
-    pages = _doc_pages(spark, sf_dir)
-    df = CF.with_canonical_urlfp(pages)
+    # repartition before the Arrow kernel: the documents table is a
+    # single parquet file with one row group, so the scan (and any UDF
+    # fused into its stage) would otherwise run in ONE task — the
+    # round-robin exchange of (doc_id, source) is tiny and buys
+    # cluster-wide kernel parallelism (scale-adaptive: defaultParallelism)
+    pages = _doc_pages(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    df = CF.with_canonical_urlfp(pages, with_host=True)
     return (
         df.filter("url_valid")
-        .withColumn("host", CF.url_host(F.col("canonical_url")))
         .groupBy("host")
         .agg(F.countDistinct("domain_hash", "url_hash").alias("n_urls"))
     )

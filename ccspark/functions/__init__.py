@@ -38,6 +38,14 @@ def canonicalize_url(s: pd.Series) -> pd.Series:
     return urls.canonicalize_batch(s)
 
 
+# The canonicalization kernels are pure functions, but they are marked
+# non-deterministic so Catalyst cannot push a filter on their output
+# below the projection and DUPLICATE the evaluation (two ArrowEvalPython
+# nodes for one UDF call — the round-6 q_urlfp_dedup/_identify plans
+# paid the kernel twice per row; spark_optimization_guide §4.4).
+canonicalize_url = canonicalize_url.asNondeterministic()
+
+
 _URLFP_SCHEMA = StructType(
     [
         StructField("domain_hash", LongType()),
@@ -54,6 +62,9 @@ def urlfp(canonical: pd.Series) -> pd.DataFrame:
     return urls.urlfp_batch(canonical)
 
 
+urlfp = urlfp.asNondeterministic()  # see canonicalize_url note
+
+
 _CANON_FP_SCHEMA = StructType(
     [
         StructField("canonical_url", StringType()),
@@ -61,6 +72,7 @@ _CANON_FP_SCHEMA = StructType(
         StructField("url_hash", LongType()),
         StructField("root_domain_hash", LongType()),
         StructField("valid", BooleanType()),
+        StructField("host", StringType()),
     ]
 )
 
@@ -69,12 +81,17 @@ _CANON_FP_SCHEMA = StructType(
 def canonical_urlfp(raw: pd.Series) -> pd.DataFrame:
     """Fused canonicalize + URLFPV2 in ONE Arrow pass — half the
     JVM↔Python traffic of chaining the two UDFs; use this in hot paths.
-    The byte-matrix kernel's host byproduct also skips the fingerprint
-    stage's host re-extraction regex."""
+    The byte-matrix kernel's host byproduct (== fastGetHostFromURL of
+    the canonical URL) also rides along, so callers that need the host
+    skip the url_host re-extraction hop entirely."""
     canon, hosts = urls.canonicalize_batch_with_host(raw)
     fp = urls.urlfp_batch(canon, hosts=hosts)
     fp.insert(0, "canonical_url", canon)
+    fp["host"] = hosts
     return fp
+
+
+canonical_urlfp = canonical_urlfp.asNondeterministic()  # see canonicalize_url note
 
 
 @pandas_udf(StringType())
@@ -137,17 +154,23 @@ def with_canonical(df: DataFrame, url_col: str = "url", out_col: str = "canonica
     return df.withColumn(out_col, canonicalize_url(F.col(url_col)))
 
 
-def with_canonical_urlfp(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Fused identity columns from a raw url column (single Arrow hop)."""
+def with_canonical_urlfp(df: DataFrame, url_col: str = "url", with_host: bool = False) -> DataFrame:
+    """Fused identity columns from a raw url column (single Arrow hop).
+
+    ``with_host`` additionally exposes the kernel's canonical-host
+    byproduct as ``host`` — identical to ``url_host(canonical_url)``
+    but without a second JVM↔Python hop."""
     df = df.withColumn("_cfp", canonical_urlfp(F.col(url_col)))
-    return (
+    df = (
         df.withColumn("canonical_url", F.col("_cfp.canonical_url"))
         .withColumn("domain_hash", F.col("_cfp.domain_hash"))
         .withColumn("url_hash", F.col("_cfp.url_hash"))
         .withColumn("root_domain_hash", F.col("_cfp.root_domain_hash"))
         .withColumn("url_valid", F.col("_cfp.valid"))
-        .drop("_cfp")
     )
+    if with_host:
+        df = df.withColumn("host", F.col("_cfp.host"))
+    return df.drop("_cfp")
 
 
 def with_urlfp(
