@@ -142,8 +142,17 @@ def q_politeness_rank(spark, sf_dir):
     shape: partition by key, order by priority, keep top-N)."""
     ev = _load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    # explicit repartition by the window key: the events table is one
+    # row group, so the otherwise-single scan task would also run the
+    # pre-shuffle sort + partial rank serially; hash-repartitioning
+    # first satisfies the window's required distribution (same single
+    # Exchange) while the sort/rank run at full parallelism.  Identical
+    # rows: row_number's order (value DESC, event_id) is a total order
+    # per user, invariant to partitioning.
     return (
-        ev.withColumn("rn", F.row_number().over(w))
+        ev.select("event_id", "user_id", "value")
+        .repartition("user_id")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("user_id", "event_id", "rn")
     )
@@ -231,7 +240,16 @@ def q_urlfp_dedup(spark, sf_dir):
 def q_ann_cosine_topk(spark, sf_dir):
     """Similarity search: brute-force cosine top-k against vec_id=0."""
     emb = _load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q")).collect()[0]["q"]
+    # limit(1) short-circuits the query-vector job (vec_id is unique, so
+    # the result is unchanged); the similarity scan is repartitioned
+    # because the single-row-group embeddings file otherwise pins the
+    # whole scoring pass to one task.
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("q"))
+        .limit(1)
+        .collect()[0]["q"]
+    )
     qlit = F.array(*[F.lit(float(x)) for x in q])
     dot = F.aggregate(
         F.zip_with(F.col("embedding"), qlit, lambda a, b: a.cast("double") * b),
@@ -246,7 +264,8 @@ def q_ann_cosine_topk(spark, sf_dir):
     qnorm = math.sqrt(sum(float(x) * float(x) for x in q))
     sim = F.round(dot / (norm_e * F.lit(qnorm)), 4)
     return (
-        emb.filter(F.col("vec_id") != 0)
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.col("vec_id") != 0)
         .select("vec_id", sim.alias("sim"))
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(10)

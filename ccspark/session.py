@@ -43,6 +43,17 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         # keep scans sized for executor memory at large SF
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # floor on scan parallelism (guide §6): with few/monolithic input
+        # files the default split size (= maxPartitionBytes) leaves most
+        # cores idle during scans; minPartitionNum shrinks the advisory
+        # split to totalBytes/N so scans fan out.  Scale-adaptive by
+        # construction: once totalBytes/N exceeds maxPartitionBytes (any
+        # real-cluster input), maxPartitionBytes governs and this floor
+        # has zero effect.
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("CCSPARK_MIN_PARTITION_NUM", str(shuffle_partitions)),
+        )
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
