@@ -411,7 +411,10 @@ class CrawlFrontier:
                 "root_domain_hash long, priority double, discovered_round int",
             )
         else:
-            frontier = ckpt.read(spark, "frontier", prev)
+            # cached: the candidate table feeds both the novelty gate and
+            # the lineage tagged-union — without the cache the lineage job
+            # re-scans the parquet (one extra full read per round)
+            frontier = ckpt.read(spark, "frontier", prev).cache()
 
         # novelty gate: bloom/cuckoo pre-screen + exact confirm.  The
         # frontier table is stored partition-clustered, so the storage
@@ -609,41 +612,37 @@ class CrawlFrontier:
             .select(*FRONTIER_COLS)
         )
 
-        # links gate: probe the just-augmented filters (actions 1+2 wrote
-        # this round's seen delta and blobs), exact-confirm only bloom
-        # maybe-seens — the r3 shape anti-joined links against the FULL
-        # seen history every round, the other half of the history-sized
-        # shuffle.  Links arrive unclustered (a fetch task's out-links hash
-        # everywhere); at huge filter state each gate task should touch ~1
-        # partition's blob, so spend one delta-sized Exchange clustering
-        # them first.  At broadcastable state (small/mid crawl) every task
-        # can afford all blobs — skip the Exchange.
+        # links gate + next frontier, storage path: dedup FIRST, gate
+        # AFTER.  The identity dedup's one Exchange (by partition_id)
+        # already lands rows clustered exactly the way the storage gate
+        # wants them, so gating the DEDUPED union (novel ∪ links) against
+        # the just-augmented round-k filters replaces three operators of
+        # the old shape with zero extra shuffles: the links-clustering
+        # Exchange (the gate now inherits the dedup's clustering), the
+        # leftover anti-join against seen_delta (round-k filters contain
+        # the delta, so the gate itself retires just-processed novel
+        # rows), and the gate runs over post-dedup rows (fewer).
+        # Equivalence: for any identity, either it is seen through round
+        # k (every one of its rows was dropped before — by the anti-join
+        # or the old links gate — and is dropped now by the gate), or it
+        # is unseen (all rows kept in both shapes), so the per-identity
+        # row multiset feeding the max-priority merge is unchanged.
+        obs_frontier = Observation(f"frontier_{round_no}")
         if loc is not None:
-            cluster = (
-                cfg.cluster_link_gate
-                if cfg.cluster_link_gate is not None
-                else (bloom_bytes is None or bloom_bytes > (128 << 20))
+            merged = dedup_by_identity(
+                novel.select(*FRONTIER_COLS).unionByName(links.select(*FRONTIER_COLS)),
+                cfg.num_partitions,
             )
-            if cluster:
-                links = links.repartition(
-                    cfg.num_partitions, _pid_col(cfg.num_partitions)
-                )
-            links_new = seenset.gate_new_storage(
-                links, _loc(), round_no, round_no, cfg.num_partitions
+            next_frontier = seenset.gate_new_storage(
+                merged, _loc(), round_no, round_no, cfg.num_partitions
             )  # refreshed location: probes the just-written round-k blobs
         else:
             seen_new = seen.unionByName(seen_delta) if seen is not None else seen_delta
             links_new = links.join(seen_new, ["domain_hash", "url_hash"], "left_anti")
-
-        # next frontier: unscheduled novel + unseen links, max-priority
-        # identity merge that LANDS partition-clustered (dedup_by_identity:
-        # one Exchange by partition_id instead of (domain_hash, url_hash),
-        # feeding the partitionBy write one file per partition)
-        leftover = novel.join(seen_delta, ["domain_hash", "url_hash"], "left_anti").select(*FRONTIER_COLS)
-        obs_frontier = Observation(f"frontier_{round_no}")
-        next_frontier = dedup_by_identity(
-            leftover.unionByName(links_new.select(*FRONTIER_COLS)), cfg.num_partitions
-        )
+            leftover = novel.join(seen_delta, ["domain_hash", "url_hash"], "left_anti").select(*FRONTIER_COLS)
+            next_frontier = dedup_by_identity(
+                leftover.unionByName(links_new.select(*FRONTIER_COLS)), cfg.num_partitions
+            )
         if cfg.max_frontier_per_host is not None:
             # priority-evict hot hosts' queues (domain_hash is the host
             # fingerprint — no string work); deterministic total order,
@@ -712,6 +711,8 @@ class CrawlFrontier:
         n_scheduled = int(obs_proc.get["n_sched"])
         n_frontier = int(obs_frontier.get["n"])
         novel.unpersist()
+        if n_candidates > 0:
+            frontier.unpersist()
         processed.unpersist()
 
         ckpt.commit_round(

@@ -95,8 +95,16 @@ def canonicalize_matrix(
         return handled, canon, hosts  # and the scheme slices assume L>=8
     M = bs.view(np.uint8).reshape(n, L)
     col = np.arange(L, dtype=np.int32)
+    in_str = col[None, :] < lens[:, None]
 
-    fl = np.bitwise_or.reduce(_LUT[M], axis=1)
+    # classify ONLY the in-string bytes: the byte matrix is NUL-padded
+    # to the chunk's max length and NUL is (deliberately) in the SLOW
+    # class, so an unmasked reduce flags every row shorter than the
+    # longest row in its chunk — which silently sent ~100% of real
+    # batches down the scalar path (the kernel's entire point lost).
+    lut = _LUT[M]
+    lut[~in_str] = 0
+    fl = np.bitwise_or.reduce(lut, axis=1)
     ok = (fl & (_F_SLOW | _F_AT)) == 0
     ok &= lens >= 10  # shortest handleable: "ftp://a.b/"
 
@@ -118,7 +126,6 @@ def canonicalize_matrix(
 
     # authority span -------------------------------------------------------
     after = col[None, :] >= sl[:, None]
-    in_str = col[None, :] < lens[:, None]
     slash_q = ((M == ord("/")) | (M == ord("?"))) & after & in_str
     has_end = slash_q.any(axis=1)
     aend = np.where(has_end, slash_q.argmax(axis=1), lens).astype(np.int32)
@@ -175,7 +182,18 @@ def canonicalize_matrix(
     lbl0 = np.take_along_axis(low, np.minimum(lastdot + 1, L - 1)[:, None], axis=1)[:, 0]
     lbl1 = np.take_along_axis(low, np.minimum(lastdot + 2, L - 1)[:, None], axis=1)[:, 0]
     hex_form = (lbl0 == ord("0")) & (lbl1 == ord("x"))
-    ok &= ~(~label_nondigit | hex_form)  # any numeric-ish last label → scalar
+    ip_cand = ~label_nondigit | hex_form  # numeric-ish last label
+    # already-canonical dotted quads self-canonicalize under googleurl's
+    # IP path (same acceptance the legacy pandas tier used), so they can
+    # stay on the matrix path; every other IP-ish host → scalar.  Cheap
+    # per-row regex over just the candidate rows (zipf IP hosts were
+    # ~10% of links traffic — the dominant scalar residue).
+    ip_fix = ok & ip_cand & ~trail_dot
+    for i in np.flatnonzero(ip_fix):
+        ip_fix[i] = (
+            U._CANON_QUAD_RE.fullmatch(values[i][sl[i] : hend_eff[i]]) is not None
+        )
+    ok &= ~ip_cand | ip_fix
 
     # path/query structure ---------------------------------------------------
     at_aend = np.take_along_axis(M, np.minimum(aend, L - 1)[:, None], axis=1)[:, 0]
