@@ -264,8 +264,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     qnorm = math.sqrt(sum(float(x) * float(x) for x in q))
     sim = F.round(dot / (norm_e * F.lit(qnorm)), 4)
     return (
-        emb.repartition(spark.sparkContext.defaultParallelism)
-        .filter(F.col("vec_id") != 0)
+        emb.filter(F.col("vec_id") != 0)
         .select("vec_id", sim.alias("sim"))
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(10)
