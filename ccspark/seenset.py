@@ -543,41 +543,53 @@ def gate_new_storage(
     ``root`` is any seenstore state location: a filesystem path, an
     FSLocation (object store), or a ManifestLocation (catalog-metadata
     file lists — the Iceberg backend); the gate itself is
-    location-agnostic."""
-    schema = candidates.schema
+    location-agnostic.
 
-    def _gate(batches):
+    The decision is expressed as a BOOLEAN Arrow UDF over just
+    (domain_hash, url_hash) rather than a mapInPandas over whole rows:
+    only 16 bytes/row cross the JVM↔Python boundary each way instead of
+    the full frontier row (url + canonical_url strings dominated the
+    gate stage's Arrow traffic — guide §4.1 "pass only the columns the
+    function needs").  Marked non-deterministic so the optimizer cannot
+    push the filter below the identity dedup's aggregate (re-gating
+    pre-dedup, pre-clustering rows) or duplicate it."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _is_new(dom_s: pd.Series, url_s: pd.Series) -> pd.Series:
         from . import seenstore
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf
+        n = len(dom_s)
+        if n == 0:
+            return pd.Series([], dtype=bool)
+        dom = dom_s.to_numpy(dtype=np.int64)
+        keys = url_s.to_numpy(dtype=np.int64)
+        pids = np.mod(dom, num_partitions)
+        keep = np.ones(n, dtype=bool)
+        for pid in np.unique(pids):
+            sel = np.flatnonzero(pids == pid)
+            blob = seenstore.filter_blob(root, int(pid), filters_round)
+            if blob is None:
+                continue  # no filter state for this partition: all new
+            kind, k, m, _nk, bits = blob
+            if kind == "bloom":
+                maybe = bloom_probe(keys[sel], k, m, bits)
+            else:
+                maybe = cuckoo_probe(keys[sel], k, m, bits)
+            if not maybe.any():
                 continue
-            dom = pdf["domain_hash"].to_numpy(dtype=np.int64)
-            keys = pdf["url_hash"].to_numpy(dtype=np.int64)
-            pids = np.mod(dom, num_partitions)
-            keep = np.ones(len(pdf), dtype=bool)
-            for pid in np.unique(pids):
-                sel = np.flatnonzero(pids == pid)
-                blob = seenstore.filter_blob(root, int(pid), filters_round)
-                if blob is None:
-                    continue  # no filter state for this partition: all new
-                kind, k, m, _nk, bits = blob
-                if kind == "bloom":
-                    maybe = bloom_probe(keys[sel], k, m, bits)
-                else:
-                    maybe = cuckoo_probe(keys[sel], k, m, bits)
-                if not maybe.any():
-                    continue
-                sus = sel[maybe]
-                u_s, d_s = seenstore.seen_arrays(root, int(pid), seen_upto)
-                if len(u_s) == 0:
-                    continue  # filter false positives only (round 1)
-                dup = seenstore.contains(u_s, d_s, keys[sus], dom[sus])
-                keep[sus[dup]] = False
-            yield pdf if keep.all() else pdf[keep]
+            sus = sel[maybe]
+            u_s, d_s = seenstore.seen_arrays(root, int(pid), seen_upto)
+            if len(u_s) == 0:
+                continue  # filter false positives only (round 1)
+            dup = seenstore.contains(u_s, d_s, keys[sus], dom[sus])
+            keep[sus[dup]] = False
+        return pd.Series(keep, index=dom_s.index)
 
-    return candidates.mapInPandas(_gate, schema=schema)
+    gate = _is_new.asNondeterministic()
+    return candidates.filter(gate(F.col("domain_hash"), F.col("url_hash")))
 
 
 def update_filters_storage(
