@@ -35,7 +35,10 @@ def dedup_urls_stream(pages: DataFrame, watermark: str = "10 minutes") -> DataFr
     """Canonical-identity streaming dedup: watermark on warc_ts, drop
     duplicates on (domain_hash, url_hash) — late re-discoveries of the
     same URL are suppressed within the watermark horizon."""
-    df = CF.with_urlfp(CF.with_canonical(pages))
+    # fused canonicalize+fingerprint kernel: ONE Arrow hop per row
+    # instead of the chained canonicalize→urlfp pair, and the canonical
+    # host rides along for the downstream per-host operators
+    df = CF.with_canonical_urlfp(pages, with_host=True)
     return (
         df.filter("url_valid")
         .withWatermark("warc_ts", watermark)
@@ -47,7 +50,11 @@ def urls_per_host_windowed(
     deduped: DataFrame, window: str = "1 minute", slide: str | None = None
 ) -> DataFrame:
     """Windowed per-host URL counts (fetch-rate accounting)."""
-    host = CF.url_host(F.col("canonical_url")).alias("host")
+    # reuse the kernel's host byproduct when present — no extra Python hop
+    host = (
+        F.col("host") if "host" in deduped.columns
+        else CF.url_host(F.col("canonical_url")).alias("host")
+    )
     w = F.window("warc_ts", window, slide) if slide else F.window("warc_ts", window)
     return deduped.select(host, "warc_ts").groupBy(w.alias("win"), "host").agg(
         F.count("*").alias("n_urls")
@@ -83,7 +90,10 @@ def host_budget_stateful(
             }
         )
 
-    host = CF.url_host(F.col("canonical_url")).alias("host")
+    host = (
+        F.col("host") if "host" in deduped.columns
+        else CF.url_host(F.col("canonical_url")).alias("host")
+    )
     return (
         deduped.select(host)
         .groupBy("host")
