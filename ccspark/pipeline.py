@@ -57,8 +57,8 @@ def identified_candidates(spark: SparkSession, universe_n: int, n_hosts: int | N
             ids = pdf["id"].to_numpy()
             u, _ = synth.gen_urls_pdf(ids, n_hosts, seed)
             pri = (synth._rand(ids, 9, seed) % np.uint64(1000)).astype(np.float64) / 1000.0
-            canon = urls_mod.canonicalize_batch(u)
-            fp = urls_mod.urlfp_batch(canon)
+            canon, hosts = urls_mod.canonicalize_batch_with_host(u)
+            fp = urls_mod.urlfp_batch(canon, hosts=hosts)
             yield pd.DataFrame(
                 {
                     "url": u.to_numpy(),
