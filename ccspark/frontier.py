@@ -523,6 +523,30 @@ class CrawlFrontier:
         scheduled = processed.filter(F.col("host_rank").isNotNull())
         seen_delta = processed.select("domain_hash", "url_hash")
 
+        # lineage aggregate launched NOW on a driver thread (guide §2.6 —
+        # overlap independent jobs): it reads only the caches action 1
+        # just filled (frontier, novel, processed), so it can run
+        # concurrently with the filters and frontier writes below and its
+        # tasks back-fill their stage tails; the result is joined before
+        # the commit.  Content is unchanged — only the schedule moved.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pid = F.pmod(F.col("domain_hash"), F.lit(cfg.num_partitions)).cast("int")
+        tagged = (
+            frontier.select(pid.alias("partition_id"), F.lit("cand").alias("t"), "domain_hash")
+            .unionByName(novel.select(pid.alias("partition_id"), F.lit("novel").alias("t"), "domain_hash"))
+            .unionByName(scheduled.select(pid.alias("partition_id"), F.lit("sched").alias("t"), "domain_hash"))
+        )
+        lineage_agg = tagged.groupBy("partition_id").agg(
+            F.count(F.when(F.col("t") == "cand", 1)).alias("n_candidates"),
+            F.count(F.when(F.col("t") == "novel", 1)).alias("n_novel"),
+            F.count(F.when(F.col("t") == "sched", 1)).alias("urls_emitted"),
+            F.min(F.when(F.col("t") == "sched", F.col("domain_hash"))).alias("hash_range_start"),
+            F.max(F.when(F.col("t") == "sched", F.col("domain_hash"))).alias("hash_range_end"),
+        )
+        _lineage_pool = ThreadPoolExecutor(max_workers=1)
+        lineage_fut = _lineage_pool.submit(lineage_agg.collect)  # action 4 (overlapped)
+
         # filters next (before the frontier write), so the links gate can
         # probe the JUST-AUGMENTED blobs: one seen-scan per round total.
         # Storage path: the driving frame is range(P) partition ids; each
@@ -659,26 +683,14 @@ class CrawlFrontier:
         )  # action 3
         _mark("frontier_write")
 
-        # lineage: per-partition commit record — ONE tagged-union job over
-        # the cached frames; the ~num_partitions result rows are collected
-        # and written driver-side (no parquet-committer job for 32 rows)
-        pid = F.pmod(F.col("domain_hash"), F.lit(cfg.num_partitions)).cast("int")
-        tagged = (
-            frontier.select(pid.alias("partition_id"), F.lit("cand").alias("t"), "domain_hash")
-            .unionByName(novel.select(pid.alias("partition_id"), F.lit("novel").alias("t"), "domain_hash"))
-            .unionByName(scheduled.select(pid.alias("partition_id"), F.lit("sched").alias("t"), "domain_hash"))
-        )
-        lineage_rows = (
-            tagged.groupBy("partition_id")
-            .agg(
-                F.count(F.when(F.col("t") == "cand", 1)).alias("n_candidates"),
-                F.count(F.when(F.col("t") == "novel", 1)).alias("n_novel"),
-                F.count(F.when(F.col("t") == "sched", 1)).alias("urls_emitted"),
-                F.min(F.when(F.col("t") == "sched", F.col("domain_hash"))).alias("hash_range_start"),
-                F.max(F.when(F.col("t") == "sched", F.col("domain_hash"))).alias("hash_range_end"),
-            )
-            .collect()  # action 4: tiny (≤ num_partitions rows), no committer
-        )
+        # lineage: per-partition commit record — the tagged-union job was
+        # launched right after action 1 (see above) and has been running
+        # under the filters/frontier writes; join it and write the
+        # ~num_partitions rows driver-side with pyarrow (no committer job)
+        try:
+            lineage_rows = lineage_fut.result()
+        finally:
+            _lineage_pool.shutdown(wait=False)
         lineage_pdf = pd.DataFrame(
             [
                 {
