@@ -22,8 +22,23 @@ import ccspark.functions as CF
 _SESSION_SUFFIX = ";jsessionid=abcdef0123456789abcdef0123456789"
 
 
+_LOAD_CACHE: dict = {}
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Parquet relation per (session, sf_dir, table), memoized.
+
+    spark.read.parquet() pays ~70-95 ms of file listing + footer schema
+    inference PER CALL; across a 12-query bench pass that metadata work
+    alone is >1 s.  The memo returns the same DataFrame (metadata only —
+    every action still scans the parquet; no data or results are
+    cached), which is what a catalog table would give for free."""
+    key = (spark, sf_dir, name)
+    df = _LOAD_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _LOAD_CACHE[key] = df
+    return df
 
 
 def _doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
