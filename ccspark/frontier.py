@@ -544,8 +544,8 @@ class CrawlFrontier:
             F.min(F.when(F.col("t") == "sched", F.col("domain_hash"))).alias("hash_range_start"),
             F.max(F.when(F.col("t") == "sched", F.col("domain_hash"))).alias("hash_range_end"),
         )
-        _lineage_pool = ThreadPoolExecutor(max_workers=1)
-        lineage_fut = _lineage_pool.submit(lineage_agg.collect)  # action 4 (overlapped)
+        _pool = ThreadPoolExecutor(max_workers=2)
+        lineage_fut = _pool.submit(lineage_agg.collect)  # action 4 (overlapped)
 
         # filters next (before the frontier write), so the links gate can
         # probe the JUST-AUGMENTED blobs: one seen-scan per round total.
@@ -580,10 +580,19 @@ class CrawlFrontier:
                 seen_new, cfg.num_partitions, "cuckoo", cfg.buckets_per_element
             )
         _explain(filters_new, "filters")
-        ckpt.write(
-            filters_new, "filters", round_no, partition_by=["partition_id"]
-        )  # action 2
-        _mark("filters_write")
+        if loc is not None:
+            # the filters write only gates the FINAL frontier gate, not
+            # the links expansion / identity dedup — run it on a driver
+            # thread (guide §2.6) so its tasks overlap the dedup
+            # materialization below; joined before the gated write.
+            filters_fut = _pool.submit(
+                ckpt.write, filters_new, "filters", round_no, ["partition_id"]
+            )
+        else:
+            ckpt.write(
+                filters_new, "filters", round_no, partition_by=["partition_id"]
+            )  # action 2
+            _mark("filters_write")
 
         # link discovery: either the pluggable real pipeline (expand_fn →
         # raw urls → the fused identity kernel) or the deterministic
@@ -653,10 +662,16 @@ class CrawlFrontier:
         # row multiset feeding the max-priority merge is unchanged.
         obs_frontier = Observation(f"frontier_{round_no}")
         if loc is not None:
+            # materialize the expansion+dedup NOW (eager localCheckpoint)
+            # — it does not depend on the filters state, so its job runs
+            # CONCURRENTLY with the threaded filters write above; only
+            # the gate must wait for the round-k blobs.
             merged = dedup_by_identity(
                 novel.select(*FRONTIER_COLS).unionByName(links.select(*FRONTIER_COLS)),
                 cfg.num_partitions,
-            )
+            ).localCheckpoint()
+            filters_fut.result()  # round-k blobs are on disk past this point
+            _mark("filters_write+dedup_overlap")
             next_frontier = seenset.gate_new_storage(
                 merged, _loc(), round_no, round_no, cfg.num_partitions
             )  # refreshed location: probes the just-written round-k blobs
@@ -690,7 +705,7 @@ class CrawlFrontier:
         try:
             lineage_rows = lineage_fut.result()
         finally:
-            _lineage_pool.shutdown(wait=False)
+            _pool.shutdown(wait=False)
         lineage_pdf = pd.DataFrame(
             [
                 {
