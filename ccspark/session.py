@@ -49,10 +49,16 @@ def build_session(
         # split to totalBytes/N so scans fan out.  Scale-adaptive by
         # construction: once totalBytes/N exceeds maxPartitionBytes (any
         # real-cluster input), maxPartitionBytes governs and this floor
-        # has zero effect.
+        # has zero effect.  N = cores/4 measured best locally: row groups
+        # cap the useful splits anyway, and every surplus split is an
+        # empty task whose launch+footer-read tax small scans (~3 ms
+        # each; interleaved A/B over the headline scans: N=8 beat N=32
+        # and N=1 on a 32-core local run).
         .config(
             "spark.sql.files.minPartitionNum",
-            os.environ.get("CCSPARK_MIN_PARTITION_NUM", str(shuffle_partitions)),
+            os.environ.get(
+                "CCSPARK_MIN_PARTITION_NUM", str(max(2, shuffle_partitions // 4))
+            ),
         )
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
