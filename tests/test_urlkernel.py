@@ -140,3 +140,48 @@ def test_kernel_parity_grammar_fuzz():
         assert canon.iloc[i] == want, repr(u)
         want_host = U.fast_get_host(want) if want else None
         assert host.iloc[i] == want_host, repr(u)
+
+
+def test_kernel_coverage_mixed_length_batch():
+    """Regression gate for the round-6 padding bug: the classification
+    pass must mask the byte matrix's NUL padding, otherwise every row
+    shorter than the longest row in its chunk is flagged SLOW and the
+    whole batch silently falls back to the scalar path (parity tests
+    cannot see that — fallback is correct, just ~3.5x slower)."""
+    vals = [f"http://site{i}.example{i % 13}.com/docs/{i}/p{i}.html" for i in range(2000)]
+    vals.append("http://longest-row-in-the-chunk.example.com/" + "x" * 500)
+    handled, canon, hosts = K.canonicalize_matrix(vals)
+    assert handled.mean() > 0.99, f"matrix coverage collapsed: {handled.mean():.4f}"
+
+
+def test_kernel_coverage_canonical_quad_hosts():
+    """Already-canonical IPv4 dotted-quad hosts stay on the matrix path
+    (round-6 extension); non-canonical IP-ish hosts still fall back."""
+    ok_vals = [f"http://10.0.{i % 250}.{(i * 7) % 250}/docs/p{i}.html" for i in range(500)]
+    handled, canon, hosts = K.canonicalize_matrix(ok_vals)
+    assert handled.all(), f"canonical quads fell back: {handled.mean():.3f}"
+    for i, u in enumerate(ok_vals[:50]):
+        assert canon[i] == U.canonicalize_url(u), u
+        assert hosts[i] == U.fast_get_host(canon[i]), u
+    bad_vals = [
+        "http://300.1.2.3/x", "http://01.2.3.4/x", "http://0x7f.0.0.1/x",
+        "http://1.2.3/x", "http://10.0.0.1./x",
+    ]
+    handled_bad, _, _ = K.canonicalize_matrix(bad_vals)
+    assert not handled_bad.any(), "non-canonical IP-ish hosts must take the scalar path"
+
+
+def test_kernel_host_byproduct_matches_fast_get_host():
+    """The host byproduct fused into the canonical_urlfp struct must be
+    definitionally fastGetHostFromURL(canonical) for every row (round-6
+    relies on this to drop the separate url_host Arrow hop)."""
+    vals = [
+        "HTTP://WWW.Example.COM:80/a/b;jsessionid=abcdef0123456789abcdef0123456789",
+        "http://site1.example.co.uk./p.html", "http://10.0.0.1/x",
+        "https://h.com/x?q=1", "not a url", None,
+    ] + [f"http://s{i}.example{i % 5}.com/p{i}" for i in range(200)]
+    canon, host = K.canonicalize_batch_kernel(pd.Series(vals, dtype=object))
+    for i in range(len(vals)):
+        c = canon.iloc[i]
+        want = U.fast_get_host(c) if c is not None else None
+        assert host.iloc[i] == want, (vals[i], c, want, host.iloc[i])
