@@ -484,6 +484,7 @@ class CrawlFrontier:
             cfg.round_duration_ms,
             cfg.n_salts,
             broadcast_robots=cfg.broadcast_robots,
+            layout_partitions=cfg.num_partitions,
         )
         sched_cols = [
             "round",
@@ -508,12 +509,14 @@ class CrawlFrontier:
             )
             .cache()
         )
-        # one delta-sized Exchange reclusters the window output by
-        # partition_id so the Hive-partitioned write lands one file per
-        # partition per round — the layout every storage-gate read prunes on
-        _explain(processed.repartition(cfg.num_partitions, "partition_id"), "processed")
+        # no layout Exchange here: process_round's final rank already
+        # hash-partitioned by pmod(domain_hash, P) (layout_partitions),
+        # so the window output lands pre-clustered and the Hive-
+        # partitioned write still produces one file per partition per
+        # round — the layout every storage-gate read prunes on
+        _explain(processed, "processed")
         ckpt.write(
-            processed.repartition(cfg.num_partitions, "partition_id"),
+            processed,
             "processed",
             round_no,
             partition_by=["partition_id"],

@@ -387,6 +387,7 @@ def process_round(
     n_salts: int = 16,
     broadcast_robots: bool = True,
     robots_mode: str = "prefix",
+    layout_partitions: int | None = None,
 ) -> DataFrame:
     """schedule_round + robots retirement as ONE linear plan.
 
@@ -402,7 +403,17 @@ def process_round(
     partitions: allowed rows rank among themselves exactly as in
     rank_per_host, disallowed rows ride along and get their rank
     nulled at the end.  Same robots-table one-row-per-host invariant
-    as schedule_round."""
+    as schedule_round.
+
+    ``layout_partitions``: when set (the frontier passes its partition
+    count P), the FINAL rank's exchange hash-partitions by
+    ``pmod(domain_hash, P)`` instead of by host — domain_hash is
+    constant per host, so prefixing the window keys with the partition
+    id leaves the rank groups (and therefore every output row)
+    unchanged, while the output lands already clustered for the
+    one-file-per-partition checkpoint write: the caller's separate
+    layout Exchange disappears.  The salted stage-1 window keeps its
+    own host/salt exchange, so hot hosts still spread across tasks."""
     df = with_host_and_path(candidates)
     if robots_mode == "rfc":
         gated = robots_gate_rfc(df, robots, broadcast_robots)
@@ -422,11 +433,18 @@ def process_round(
         .filter(~allowed | (F.col("salt_rank") <= F.col("budget")))
         .drop("salt_rank", "salt")
     )
-    w2 = Window.partitionBy("host", "robots_allowed").orderBy(*order)
+    if layout_partitions is not None:
+        pid = F.pmod(F.col("domain_hash"), F.lit(layout_partitions)).cast("int")
+        pruned = pruned.withColumn("_pid", pid).repartition(layout_partitions, "_pid")
+        w2 = Window.partitionBy("_pid", "host", "robots_allowed").orderBy(*order)
+    else:
+        w2 = Window.partitionBy("host", "robots_allowed").orderBy(*order)
     ranked = (
         pruned.withColumn("rk", F.row_number().over(w2))
         .filter(~allowed | (F.col("rk") <= F.col("budget")))
     )
+    if layout_partitions is not None:
+        ranked = ranked.drop("_pid")
     return (
         ranked.withColumn("host_rank", F.when(allowed, F.col("rk")))
         .drop("rk", "robots_allowed", *rule_cols)
