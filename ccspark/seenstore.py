@@ -98,11 +98,24 @@ def _fs_for_uri(path: str):
         elif path_part and fs_path.endswith(path_part.lstrip("/")):
             stripped = path_part.lstrip("/")
             prefix = fs_path[: -len(stripped)].rstrip("/")
-        else:  # root URI (no path part): the whole fs_path is the prefix
+        elif not path_part:  # root URI (no path part): fs_path IS the prefix
             prefix = fs_path
+        else:
+            # from_uri normalized the path (percent-escapes, duplicate
+            # or trailing slashes, '.' segments) so no prefix is
+            # provable — do NOT cache a guess (a wrong prefix would
+            # silently mis-address every later path under this
+            # authority, listing nonexistent state = full recrawl).
+            # Mark the authority unmappable: reuse the cached client but
+            # resolve every path through from_uri.
+            _FS_CACHE[key] = (fs, None)
+            return fs, fs_path
         _FS_CACHE[key] = (fs, prefix)
         return fs, fs_path
     fs, prefix = hit
+    if prefix is None:  # unmappable authority: per-path resolution
+        _, fs_path = _from_uri(path)
+        return fs, fs_path
     tail = rest[len(authority):]
     if not tail:
         return fs, prefix or "/"

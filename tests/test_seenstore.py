@@ -352,3 +352,36 @@ def test_fs_for_uri_credentialed_bucket_prefix(monkeypatch):
     _fs2, p2 = seenstore._fs_for_uri("fakes3c://u:p@bucket/state/filters/f.parquet")
     assert p2 == "bucket/state/filters/f.parquet"
     seenstore._FS_CACHE.clear()
+
+
+def test_fs_for_uri_normalized_path_does_not_poison_cache(monkeypatch):
+    """ADVICE r5: when from_uri NORMALIZES the first-resolved path
+    (here: collapsing duplicate slashes) neither prefix rule can prove
+    an authority prefix — the resolver must fall back to per-path
+    from_uri resolution instead of caching a guessed prefix that would
+    silently mis-address every later path under the authority."""
+    from ccspark import seenstore
+
+    class FakeFS:
+        pass
+
+    fs = FakeFS()
+
+    def fake_from_uri(path):
+        rest = path.partition("://")[2]
+        p = "/" + rest.split("/", 1)[1]
+        while "//" in p:
+            p = p.replace("//", "/")  # normalizing store
+        return fs, p
+
+    monkeypatch.setattr(seenstore, "_from_uri", fake_from_uri)
+    seenstore._FS_CACHE.clear()
+    # first path contains a duplicate slash -> normalized -> unmappable
+    fs1, p1 = seenstore._fs_for_uri("fakefs://auth/state//frontier")
+    assert p1 == "/state/frontier"
+    # later paths must still resolve correctly (per-path from_uri),
+    # not under a guessed prefix
+    fs2, p2 = seenstore._fs_for_uri("fakefs://auth/state/filters/f.parquet")
+    assert fs2 is fs
+    assert p2 == "/state/filters/f.parquet"
+    seenstore._FS_CACHE.clear()
