@@ -67,7 +67,14 @@ def main() -> int:
         if not args.ckpt.startswith("iceberg:"):
             ap.error("--stub-catalog requires an iceberg:<catalog>.<ns> --ckpt")
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
-        from iceberg_stub import install
+        try:
+            from iceberg_stub import install
+        except ModuleNotFoundError as e:  # ADVICE r5: clear failure mode
+            ap.error(
+                "--stub-catalog needs tests/iceberg_stub.py, i.e. a full repo "
+                "checkout (it is a sandbox-only evidence path, not part of an "
+                f"installed/submitted package): {e}"
+            )
 
         class _SetattrShim:  # install() only needs the 3-arg setattr form
             @staticmethod
