@@ -242,8 +242,12 @@ def q_urlfp_dedup(spark, sf_dir):
     # single parquet file with one row group, so the scan (and any UDF
     # fused into its stage) would otherwise run in ONE task — the
     # round-robin exchange of (doc_id, source) is tiny and buys
-    # cluster-wide kernel parallelism (scale-adaptive: defaultParallelism)
-    pages = _doc_pages(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    # cluster-wide kernel parallelism.  Width cores/2 (scale-adaptive):
+    # each extra task adds a python-worker round trip, and the A/B at
+    # 32 cores measured 16 ≈ 8 < 32 < none (0.52/0.53/0.61/0.86 s).
+    pages = _doc_pages(spark, sf_dir).repartition(
+        max(2, spark.sparkContext.defaultParallelism // 2)
+    )
     df = CF.with_canonical_urlfp(pages, with_host=True)
     return (
         df.filter("url_valid")
