@@ -166,7 +166,7 @@ def q_politeness_rank(spark, sf_dir):
     # per user, invariant to partitioning.
     return (
         ev.select("event_id", "user_id", "value")
-        .repartition("user_id")
+        .repartition(max(2, spark.sparkContext.defaultParallelism // 2), "user_id")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("user_id", "event_id", "rn")
